@@ -1,0 +1,164 @@
+"""Interop with reference (PyTorch) checkpoints.
+
+Converts a torch ``state_dict`` of the reference models into our flax
+{params, batch_stats} collections, so real reference checkpoints
+(``save/{comment}/parameter/{epoch}.save``) can be evaluated or fine-tuned in
+the TPU framework, and so tests can use the reference as a numerics oracle.
+
+torch layout -> ours:
+- Linear.weight (out,in)        -> Dense.kernel (in,out)   [transpose]
+- Conv2d.weight (out,in,kh,kw)  -> Conv.kernel (kh,kw,in,out) [transpose 2,3,1,0]
+- BatchNorm.{weight,bias}       -> bn.{scale,bias} in params
+- BatchNorm.{running_mean,running_var,num_batches_tracked}
+                                -> bn.{mean,var,count} in batch_stats
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    # Works for torch tensors and numpy arrays without importing torch here.
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _set(tree: Dict[str, Any], path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+def _convert_linear(params, module_path, prefix, sd):
+    _set(params, module_path + ("kernel",), _np(sd[prefix + ".weight"]).T)
+    if prefix + ".bias" in sd:
+        _set(params, module_path + ("bias",), _np(sd[prefix + ".bias"]))
+
+
+def _convert_conv(params, module_path, prefix, sd):
+    w = _np(sd[prefix + ".weight"])  # (out, in, kh, kw)
+    _set(params, module_path + ("kernel",), w.transpose(2, 3, 1, 0))
+    if prefix + ".bias" in sd:
+        _set(params, module_path + ("bias",), _np(sd[prefix + ".bias"]))
+
+
+def _convert_bn(params, batch_stats, module_path, prefix, sd):
+    _set(params, module_path + ("scale",), _np(sd[prefix + ".weight"]))
+    _set(params, module_path + ("bias",), _np(sd[prefix + ".bias"]))
+    _set(batch_stats, module_path + ("mean",), _np(sd[prefix + ".running_mean"]))
+    _set(batch_stats, module_path + ("var",), _np(sd[prefix + ".running_var"]))
+    nbt = prefix + ".num_batches_tracked"
+    count = _np(sd[nbt]).astype(np.int32) if nbt in sd else np.zeros([], np.int32)
+    _set(batch_stats, module_path + ("count",), count)
+
+
+def bilinear_from_torch(state_dict: Mapping[str, Any]):
+    """Reference BilinearUnit state_dict (model/bilinear.py:16-29) ->
+    (params, batch_stats) for bilinear_tpu.models.bilinear.BilinearUnit."""
+    sd = dict(state_dict)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def heavy(ours: str, theirs: str):
+        _convert_linear(params, (ours, "linear"), theirs + ".0", sd)
+        _convert_bn(params, stats, (ours, "bn"), theirs + ".1", sd)
+
+    heavy("encode", "encode")
+    for b in range(2):
+        for s in range(2):
+            heavy(f"bilinear_{b}_{s}", f"bilinear.{b}.{s}")
+    _convert_linear(params, ("decode",), "decode", sd)
+    return params, stats
+
+
+def hourglass_torch7_from_torch(state_dict: Mapping[str, Any], n_stacks: int = 8,
+                                n_depth: int = 4):
+    """Reference MainModel state_dict (model/hourglass_torch7.py:80-105) ->
+    (params, batch_stats) for models.hourglass_torch7.MainModel."""
+    sd = dict(state_dict)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def res_module(ours: Tuple[str, ...], theirs: str):
+        # ResModule: conv_skip + resSeq = BN,ReLU,Conv1,BN,ReLU,Conv3,BN,ReLU,Conv1
+        if theirs + ".conv_skip.weight" in sd:
+            _convert_conv(params, ours + ("conv_skip",), theirs + ".conv_skip", sd)
+        _convert_bn(params, stats, ours + ("bn1",), theirs + ".resSeq.0", sd)
+        _convert_conv(params, ours + ("conv1",), theirs + ".resSeq.2", sd)
+        _convert_bn(params, stats, ours + ("bn2",), theirs + ".resSeq.3", sd)
+        _convert_conv(params, ours + ("conv2",), theirs + ".resSeq.5", sd)
+        _convert_bn(params, stats, ours + ("bn3",), theirs + ".resSeq.6", sd)
+        _convert_conv(params, ours + ("conv3",), theirs + ".resSeq.8", sd)
+
+    def hourglass(ours: Tuple[str, ...], theirs: str, depth: int):
+        res_module(ours + ("res1",), theirs + ".res1.0")
+        res_module(ours + ("res2",), theirs + ".res2.0")
+        res_module(ours + ("res3",), theirs + ".res3.0")
+        if depth > 1:
+            hourglass(ours + ("sub",), theirs + ".subHourglass", depth - 1)
+        else:
+            res_module(ours + ("waist",), theirs + ".resWaist.0")
+
+    # Stem: Conv7x7, BN, ReLU, ResModule, MaxPool, ResModule, ResModule
+    _convert_conv(params, ("stem_conv",), "beforeHourglass.0", sd)
+    _convert_bn(params, stats, ("stem_bn",), "beforeHourglass.1", sd)
+    res_module(("stem_res1",), "beforeHourglass.3")
+    res_module(("stem_res2",), "beforeHourglass.5")
+    res_module(("stem_res3",), "beforeHourglass.6")
+
+    for i in range(n_stacks):
+        hourglass((f"hg_{i}",), f"hgArray.{i}", n_depth)
+        _convert_conv(params, (f"lin_{i}", "conv"), f"linArray.{i}.0", sd)
+        _convert_bn(params, stats, (f"lin_{i}", "bn"), f"linArray.{i}.1", sd)
+        _convert_conv(params, (f"htmap_{i}",), f"htmapArray.{i}", sd)
+    for i in range(n_stacks - 1):
+        _convert_conv(params, (f"ll_bar_{i}",), f"llBarArray.{i}", sd)
+        _convert_conv(params, (f"htmap_bar_{i}",), f"htmapBarArray.{i}", sd)
+    return params, stats
+
+
+def hourglass_from_torch(state_dict: Mapping[str, Any], n_stacks: int = 8,
+                         compression_time: int = 4):
+    """Reference StackedHourglass state_dict (model/hourglass.py:92-151) ->
+    (params, batch_stats) for models.hourglass.StackedHourglass."""
+    sd = dict(state_dict)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def light(ours: Tuple[str, ...], theirs: str):
+        # light_conv: BN(momentum=None), ReLU, Conv (model/hourglass.py:7-12)
+        _convert_bn(params, stats, ours + ("bn",), theirs + ".0", sd)
+        _convert_conv(params, ours + ("conv",), theirs + ".2", sd)
+
+    def res_unit(ours: Tuple[str, ...], theirs: str):
+        # ResUnit: heavy_conv (3x light_conv) + optional 1x1 skip conv
+        light(ours + ("light1",), theirs + ".conv.0")
+        light(ours + ("light2",), theirs + ".conv.1")
+        light(ours + ("light3",), theirs + ".conv.2")
+        if theirs + ".skip.weight" in sd:
+            _convert_conv(params, ours + ("skip",), theirs + ".skip", sd)
+
+    def hourglass(ours: Tuple[str, ...], theirs: str):
+        for t in range(compression_time):
+            res_unit(ours + (f"skip_{t}",), f"{theirs}.skip_connection.{t}")
+            res_unit(ours + (f"down_{t}",), f"{theirs}.downscale.{t}.1")
+            res_unit(ours + (f"up_{t}",), f"{theirs}.upscale.{t}.0")
+        res_unit(ours + ("waist",), theirs + ".res")
+
+    _convert_conv(params, ("stem_conv",), "feature_extraction.0", sd)
+    res_unit(("stem_res1",), "feature_extraction.1")
+    res_unit(("stem_res2",), "feature_extraction.3")
+    res_unit(("stem_res3",), "feature_extraction.4")
+
+    for i in range(n_stacks):
+        hourglass((f"hg_{i}",), f"hourglass.{i}")
+        res_unit((f"prev_{i}", "res"), f"prev_heatmap.{i}.0")
+        light((f"prev_{i}", "light"), f"prev_heatmap.{i}.1")
+        light((f"heatmap_{i}",), f"heatmap_intermediate.{i}")
+        light((f"after_{i}",), f"after_heatmap.{i}")
+        light((f"skip_{i}",), f"skip_intermediate.{i}")
+    return params, stats
