@@ -1,0 +1,90 @@
+"""Configuration — dataclass equivalents of the reference's static DotMaps
+(util/config.py:1-25), plus a thin CLI override layer the reference lacks.
+
+Semantics preserved: per-model config blocks, 'comment' names the run dir and
+doubles as the resume key, LR decay as a closed-form function of step,
+protocol selection for the bilinear pipeline.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+from bilinear_tpu.data.h36m import Protocol
+
+
+@dataclass
+class LRDecayConfig:
+    """util/config.py:19-23 — lr = base * rate^(step/period), re-set when
+    step == 1 or step % period == 0."""
+
+    activate: bool = True
+    base_lr: float = 1.0e-3
+    rate: float = 0.96
+    period: int = 100_000
+
+
+@dataclass
+class BilinearConfig:
+    comment: str = "Bilinear GT"
+    batch_size: int = 64
+    prefetch: int = 2  # replaces the reference's 8 loader workers
+    data_dir: str = "data/Human3.6M"
+    save_root: str = "save"
+    protocol: str = Protocol.GT
+    lr_decay: LRDecayConfig = field(default_factory=LRDecayConfig)
+    epochs_per_run: int = 10  # train_bilinear.py:56
+    total_runs: int = 40  # bilinear.sh
+    seed: int = 0
+    dtype: str = "float32"  # "bfloat16" for MXU-native training
+
+
+@dataclass
+class HourglassConfig:
+    comment: str = "Hourglass"
+    batch_size: int = 8
+    prefetch: int = 2
+    data_dir: str = "data/MPII"
+    save_root: str = "save"
+    learning_rate: float = 2.5e-4
+    epochs_per_run: int = 10  # train_hourglass.py:63
+    total_runs: int = 20  # hourglass.sh
+    variant: str = "torch7"  # 'torch7' (train_hourglass.py:45) or 'preact'
+    seed: int = 0
+    dtype: str = "float32"
+
+
+@dataclass
+class HourglassFTConfig(HourglassConfig):
+    comment: str = "Hourglass FT"
+    data_dir: str = "data/Human3.6M"
+    epochs_per_run: int = 100  # train_hourglass_FT.py:67
+    variant: str = "preact"  # train_hourglass_FT.py:47 uses model.hourglass
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cfg) -> None:
+    for f in dataclasses.fields(cfg):
+        if dataclasses.is_dataclass(f.type) or dataclasses.is_dataclass(
+            getattr(cfg, f.name)
+        ):
+            continue
+        arg = "--" + f.name.replace("_", "-")
+        val = getattr(cfg, f.name)
+        if isinstance(val, bool):
+            parser.add_argument(arg, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=val)
+        else:
+            parser.add_argument(arg, type=type(val), default=val)
+
+
+def parse_config(cfg, argv=None):
+    """Overlay CLI flags onto a config dataclass instance."""
+    parser = argparse.ArgumentParser()
+    _add_dataclass_args(parser, cfg)
+    args, _ = parser.parse_known_args(argv)
+    for f in dataclasses.fields(cfg):
+        if hasattr(args, f.name):
+            setattr(cfg, f.name, getattr(args, f.name))
+    return cfg

@@ -1,0 +1,116 @@
+"""Checkpoint save/resume with the reference's directory contract.
+
+Layout (train_bilinear.py:92-104, util/log.py:10-13):
+    save/{comment}/parameter/{epoch}.save
+Payload keys mirror the reference exactly: {'epoch','step','state','optimizer'}
+— 'state' holds {params, batch_stats} and 'optimizer' the optax state, both
+as nested numpy dicts (flax.serialization state-dicts), so checkpoints are
+torch-free, mmap-friendly pickles.
+
+Resume rule: scan the directory for the max integer epoch
+(model/bilinear.py:63-83). ``epoch = -1`` is the reference's "finalized,
+training over" sentinel (eval_hourglass.py:47-57) — it marks completion and
+never wins the resume scan.
+
+Writes are atomic (tmp + rename): a crash mid-save can never corrupt the
+newest checkpoint, preserving the reference's crash-recovery story
+(SURVEY.md §5 failure detection) with a stronger guarantee.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+FINALIZED_EPOCH = -1
+
+
+def _to_numpy_state_dict(tree) -> Dict[str, Any]:
+    return jax.tree.map(np.asarray, serialization.to_state_dict(tree))
+
+
+def save_checkpoint(parameter_dir: str, epoch: int, state) -> str:
+    """Write ``{epoch}.save``. ``state`` is a core.state.TrainState."""
+    os.makedirs(parameter_dir, exist_ok=True)
+    payload = {
+        "epoch": epoch,
+        "step": int(state.step),
+        "state": {
+            "params": _to_numpy_state_dict(state.params),
+            "batch_stats": _to_numpy_state_dict(state.batch_stats),
+        },
+        "optimizer": _to_numpy_state_dict(state.opt_state),
+    }
+    path = os.path.join(parameter_dir, f"{epoch}.save")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+    return path
+
+
+def latest_epoch(parameter_dir: Optional[str]) -> int:
+    """Max integer epoch present, 0 if none (the reference's resume scan)."""
+    best = 0
+    if parameter_dir and os.path.isdir(parameter_dir):
+        for fname in os.listdir(parameter_dir):
+            stem, _, ext = fname.partition(".")
+            if ext != "save":
+                continue
+            try:
+                e = int(stem)
+            except ValueError:
+                continue
+            best = max(best, e)
+    return best
+
+
+def load_checkpoint(parameter_dir: str, epoch: int) -> Dict[str, Any]:
+    with open(os.path.join(parameter_dir, f"{epoch}.save"), "rb") as f:
+        return pickle.load(f)
+
+
+def restore_state(state_template, payload: Dict[str, Any]):
+    """Map a checkpoint payload back onto a freshly-initialized TrainState
+    (same treedefs), returning the resumed state."""
+    params = serialization.from_state_dict(
+        state_template.params, payload["state"]["params"]
+    )
+    batch_stats = serialization.from_state_dict(
+        state_template.batch_stats, payload["state"]["batch_stats"]
+    )
+    opt_state = serialization.from_state_dict(
+        state_template.opt_state, payload["optimizer"]
+    )
+    import jax.numpy as jnp
+
+    return state_template.replace(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        step=jnp.asarray(payload["step"], jnp.int32),
+    )
+
+
+def resume_or_init(state_template, parameter_dir: Optional[str]):
+    """The reference's load() contract (model/bilinear.py:58-92): resume from
+    the newest epoch if any checkpoint exists, else return the fresh state.
+    Returns (state, start_epoch)."""
+    epoch = latest_epoch(parameter_dir)
+    if epoch > 0:
+        payload = load_checkpoint(parameter_dir, epoch)
+        return restore_state(state_template, payload), epoch
+    return state_template, 0
+
+
+def mark_finalized(parameter_dir: str, state) -> str:
+    """Write the ``-1.save`` 'training over' sentinel (eval_hourglass.py:47-57)."""
+    return save_checkpoint(parameter_dir, FINALIZED_EPOCH, state)
+
+
+def is_finalized(parameter_dir: str) -> bool:
+    return os.path.exists(os.path.join(parameter_dir, f"{FINALIZED_EPOCH}.save"))

@@ -1,0 +1,72 @@
+"""Device mesh construction and sharding rules.
+
+The reference is strictly single-device (SURVEY.md §2 parallelism census); its
+TPU-native equivalent is a first-class ``jax.sharding.Mesh`` with data
+parallelism as the primary strategy (batch axis sharded over 'data'), and a
+'model' axis reserved for tensor-parallel sharding of the lifting MLP's
+1024-wide hidden layers (useful at very large serving batch sizes).
+
+All programs in this framework are written against NamedSharding from day
+one: on a 1-chip mesh every rule degenerates to replication at zero cost, and
+the same jitted code scales to a pod slice with no loop changes
+(SURVEY.md §5 'Distributed communication backend').
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Build a (data, model) mesh. By default all visible devices go to the
+    data axis — the right layout for these small models (4.3 M / 25 M params
+    need no weight sharding at training scale)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // model
+    assert data * model == len(devices), (
+        f"{len(devices)} devices cannot form a ({data}, {model}) mesh"
+    )
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard the leading (batch) dimension over 'data'; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a pytree of host arrays with the batch axis sharded over
+    'data'. Arrays whose leading dim does not divide the mesh are replicated
+    (e.g. scalar stats)."""
+    n_data = mesh.shape[DATA_AXIS]
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n_data == 0:
+            return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(put, tree)
+
+
+def constrain_batch(x, mesh: Mesh):
+    """Inside jit: pin an activation's batch axis to the 'data' axis."""
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
+    )

@@ -21,9 +21,12 @@ import numpy as np
 
 def _np(t) -> np.ndarray:
     # Works for torch tensors and numpy arrays without importing torch here.
+    # Always COPY: torch .numpy() shares storage with the tensor, and on the
+    # CPU backend jax.device_put aliases numpy buffers — without the copy, an
+    # in-place torch optimizer step would silently mutate converted params.
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
-    return np.asarray(t)
+    return np.array(t)
 
 
 def _set(tree: Dict[str, Any], path: Tuple[str, ...], value: np.ndarray) -> None:
