@@ -90,11 +90,15 @@ def _install_vectormath_shim() -> None:
 
         @property
         def x(self):
-            return float(self[0])
+            return self[0].item()  # int after .astype(int), float otherwise
 
         @property
         def y(self):
-            return float(self[1])
+            return self[1].item()
+
+        @property
+        def length(self):
+            return float(np.linalg.norm(np.asarray(self, dtype=np.float64)))
 
     mod = types.ModuleType("vectormath")
     mod.Vector2 = Vector2
