@@ -1,0 +1,205 @@
+"""Stacked hourglass, pre-activation re-implementation variant (the
+reference's StackedHourglass, model/hourglass.py:92-151) — the network
+train_hourglass_FT.py fine-tunes on H36M.
+
+Differences from the torch7 variant, preserved exactly:
+- pre-activation light_conv = BN(momentum=None, cumulative) -> ReLU -> Conv
+  with bias=False (model/hourglass.py:7-12); bottleneck heavy_conv of three
+  light_convs (:15-20);
+- ResUnit skip is identity, or a *biased* 1x1 conv allocated only when
+  channels change (:44-47);
+- the stem's first BN+ReLU is commented out in the reference (:103-104) —
+  so the 7x7 conv output feeds the first ResUnit directly;
+- per-stack heads: prev(ResUnit + light 1x1), heatmap light 1x1 (bias=True),
+  after light 1x1, skip light 1x1; out = after(pred) + skip + prev_tensor
+  (:129-151);
+- every BatchNorm runs in cumulative mode (momentum=None) from step one.
+
+Layout/TPU choices identical to hourglass_torch7 (NHWC, static unroll,
+stacked (S, B, H, W, J) output, compute-dtype knob).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bilinear_tpu.core.initializers import (
+    torch_bias_init,
+    torch_conv_default_kernel,
+)
+from bilinear_tpu.core.norm import TorchBatchNorm
+
+
+def _conv(features, kernel, name, stride=1, bias=False, dtype=jnp.float32,
+          fan_in=None):
+    pad = (kernel - 1) // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=pad,
+        use_bias=bias,
+        kernel_init=torch_conv_default_kernel(),
+        bias_init=torch_bias_init(fan_in) if fan_in else nn.initializers.zeros,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class LightConv(nn.Module):
+    """BN(cumulative) -> ReLU -> Conv(bias per config) (model/hourglass.py:7-12)."""
+
+    features: int
+    kernel: int = 1
+    bias: bool = False
+    momentum: Optional[float] = None  # cumulative by default in this variant
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, momentum="__unset__"):
+        if momentum == "__unset__":
+            momentum = self.momentum
+        h = TorchBatchNorm(momentum=self.momentum, name="bn")(
+            x.astype(jnp.float32), train=train, momentum=momentum
+        ).astype(self.dtype)
+        h = nn.relu(h)
+        fan_in = x.shape[-1] * self.kernel * self.kernel
+        return _conv(
+            self.features, self.kernel, "conv", bias=self.bias,
+            dtype=self.dtype, fan_in=fan_in if self.bias else None,
+        )(h)
+
+
+class ResUnit(nn.Module):
+    """heavy_conv bottleneck + skip (model/hourglass.py:34-52)."""
+
+    in_channels: int
+    out_channels: int
+    momentum: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, momentum="__unset__"):
+        if momentum == "__unset__":
+            momentum = self.momentum
+        half = self.out_channels // 2
+        kw = dict(momentum=self.momentum, dtype=self.dtype)
+        h = LightConv(half, 1, name="light1", **kw)(x, train=train, momentum=momentum)
+        h = LightConv(half, 3, name="light2", **kw)(h, train=train, momentum=momentum)
+        h = LightConv(self.out_channels, 1, name="light3", **kw)(
+            h, train=train, momentum=momentum
+        )
+        if self.in_channels != self.out_channels:
+            # Biased 1x1 skip conv (nn.Conv2d default), only when needed.
+            skip = _conv(
+                self.out_channels, 1, "skip", bias=True, dtype=self.dtype,
+                fan_in=self.in_channels,
+            )(x)
+        else:
+            skip = x
+        return h + skip
+
+
+class Hourglass(nn.Module):
+    """Loop-structured encoder/decoder (model/hourglass.py:55-89)."""
+
+    channels: int
+    compression_time: int = 4
+    momentum: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, momentum="__unset__"):
+        if momentum == "__unset__":
+            momentum = self.momentum
+        kw = dict(momentum=self.momentum, dtype=self.dtype)
+        c = self.channels
+        skips = []
+        h = x
+        for t in range(self.compression_time):
+            skips.append(
+                ResUnit(c, c, name=f"skip_{t}", **kw)(h, train=train, momentum=momentum)
+            )
+            h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            h = ResUnit(c, c, name=f"down_{t}", **kw)(h, train=train, momentum=momentum)
+
+        h = ResUnit(c, c, name="waist", **kw)(h, train=train, momentum=momentum)
+
+        for t, skip in zip(range(self.compression_time), reversed(skips)):
+            h = ResUnit(c, c, name=f"up_{t}", **kw)(h, train=train, momentum=momentum)
+            h = jnp.repeat(jnp.repeat(h, 2, axis=-3), 2, axis=-2)
+            h = h + skip
+        return h
+
+
+class PrevHead(nn.Module):
+    """ResUnit + light 1x1 (model/hourglass.py:115-119)."""
+
+    channels: int
+    momentum: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, momentum="__unset__"):
+        if momentum == "__unset__":
+            momentum = self.momentum
+        kw = dict(momentum=self.momentum, dtype=self.dtype)
+        h = ResUnit(self.channels, self.channels, name="res", **kw)(
+            x, train=train, momentum=momentum
+        )
+        return LightConv(self.channels, 1, name="light", **kw)(
+            h, train=train, momentum=momentum
+        )
+
+
+class StackedHourglass(nn.Module):
+    """The full detector (model/hourglass.py:92-151).
+    Input (B, 256, 256, 3) -> (S, B, 64, 64, J) per-stack heatmaps."""
+
+    stacks: int = 8
+    joints: int = 16
+    out_channels: int = 256
+    compression_time: int = 4
+    momentum: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, momentum="__unset__"):
+        if momentum == "__unset__":
+            momentum = self.momentum
+        kw = dict(momentum=self.momentum, dtype=self.dtype)
+        x = x.astype(self.dtype)
+
+        # Stem WITHOUT BN+ReLU after the 7x7 conv (model/hourglass.py:101-109).
+        h = _conv(64, 7, "stem_conv", stride=2, dtype=self.dtype)(x)
+        h = ResUnit(64, 128, name="stem_res1", **kw)(h, train=train, momentum=momentum)
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = ResUnit(128, 128, name="stem_res2", **kw)(h, train=train, momentum=momentum)
+        h = ResUnit(128, self.out_channels, name="stem_res3", **kw)(
+            h, train=train, momentum=momentum
+        )
+
+        heatmaps = []
+        for i in range(self.stacks):
+            prev_tensor = h
+            h = Hourglass(
+                self.out_channels, self.compression_time, self.momentum,
+                self.dtype, name=f"hg_{i}",
+            )(h, train=train, momentum=momentum)
+            h = PrevHead(self.out_channels, self.momentum, self.dtype,
+                         name=f"prev_{i}")(h, train=train, momentum=momentum)
+            skip_tensor = LightConv(self.out_channels, 1, name=f"skip_{i}", **kw)(
+                h, train=train, momentum=momentum
+            )
+            pred = LightConv(self.joints, 1, bias=True, name=f"heatmap_{i}", **kw)(
+                h, train=train, momentum=momentum
+            )
+            after = LightConv(self.out_channels, 1, name=f"after_{i}", **kw)(
+                pred, train=train, momentum=momentum
+            )
+            h = after + skip_tensor + prev_tensor
+            heatmaps.append(pred.astype(jnp.float32))
+
+        return jnp.stack(heatmaps, axis=0)

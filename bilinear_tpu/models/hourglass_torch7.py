@@ -1,0 +1,202 @@
+"""Stacked hourglass, torch7-faithful variant (the reference's MainModel,
+model/hourglass_torch7.py:1-129) — the network train_hourglass.py actually
+trains.
+
+Architecture: Conv7x7/s2 -> BN -> ReLU -> Res(64->128) -> MaxPool ->
+Res(128,128) -> Res(128,256), then 8 stacks of [depth-4 recursive hourglass
+-> lin(1x1 conv+BN+ReLU) -> 1x1 heatmap conv], with inter-stack feedback
+``inter + ll_bar(ll) + htmap_bar(htmap)`` (model/hourglass_torch7.py:107-122).
+ResModule is the *standard* post-BN bottleneck: [BN->ReLU->1x1, BN->ReLU->3x3,
+BN->ReLU->1x1] + 1x1 skip conv used only when channels change (but always
+allocated, matching the torch state_dict layout so reference checkpoints
+convert losslessly — see utils/torch_compat.hourglass_torch7_from_torch).
+
+TPU-native choices: NHWC layout throughout (MXU/convolution native), the
+recursion unrolled at trace time (static depth), intermediate supervision
+returned as one stacked (S, B, H, W, J) array, f32 parameters with a compute
+dtype knob for bf16 MXU execution.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bilinear_tpu.core.initializers import (
+    torch_bias_init,
+    torch_conv_default_kernel,
+)
+from bilinear_tpu.core.norm import TorchBatchNorm
+
+N_STACKS = 8
+N_FEATURES = 256
+N_JOINTS = 16
+N_DEPTH = 4
+
+
+def _conv(features, kernel, name, stride=1, bias=True, dtype=jnp.float32,
+          fan_in=None):
+    pad = (kernel - 1) // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=pad,
+        use_bias=bias,
+        kernel_init=torch_conv_default_kernel(),
+        bias_init=torch_bias_init(fan_in) if fan_in else nn.initializers.zeros,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class ResModule(nn.Module):
+    """model/hourglass_torch7.py:14-39."""
+
+    in_channels: int
+    out_channels: int
+    momentum: Optional[float] = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, momentum="__unset__"):
+        if momentum == "__unset__":
+            momentum = self.momentum
+        half = self.out_channels // 2
+
+        def bn(name, h):
+            return TorchBatchNorm(momentum=self.momentum, name=name)(
+                h.astype(jnp.float32), train=train, momentum=momentum
+            ).astype(self.dtype)
+
+        # conv_skip is ALWAYS allocated (used only on channel change),
+        # mirroring the reference state_dict.
+        skip_conv = _conv(
+            self.out_channels, 1, "conv_skip", dtype=self.dtype,
+            fan_in=self.in_channels,
+        )
+        skip = skip_conv(x) if self.in_channels != self.out_channels else x
+
+        h = nn.relu(bn("bn1", x))
+        h = _conv(half, 1, "conv1", dtype=self.dtype, fan_in=self.in_channels)(h)
+        h = nn.relu(bn("bn2", h))
+        h = _conv(half, 3, "conv2", dtype=self.dtype, fan_in=half * 9)(h)
+        h = nn.relu(bn("bn3", h))
+        h = _conv(self.out_channels, 1, "conv3", dtype=self.dtype, fan_in=half)(h)
+        return skip + h
+
+
+class Hourglass(nn.Module):
+    """Recursive encoder/decoder (model/hourglass_torch7.py:42-75)."""
+
+    depth: int
+    features: int = N_FEATURES
+    momentum: Optional[float] = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, momentum="__unset__"):
+        if momentum == "__unset__":
+            momentum = self.momentum
+        kw = dict(momentum=self.momentum, dtype=self.dtype)
+        up = ResModule(self.features, self.features, name="res1", **kw)(
+            x, train=train, momentum=momentum
+        )
+        low = nn.max_pool(x, (2, 2), strides=(2, 2))
+        low = ResModule(self.features, self.features, name="res2", **kw)(
+            low, train=train, momentum=momentum
+        )
+        if self.depth > 1:
+            low = Hourglass(
+                self.depth - 1, self.features, self.momentum, self.dtype,
+                name="sub",
+            )(low, train=train, momentum=momentum)
+        else:
+            low = ResModule(self.features, self.features, name="waist", **kw)(
+                low, train=train, momentum=momentum
+            )
+        low = ResModule(self.features, self.features, name="res3", **kw)(
+            low, train=train, momentum=momentum
+        )
+        # UpsamplingNearest2d(scale_factor=2)
+        low = jnp.repeat(jnp.repeat(low, 2, axis=-3), 2, axis=-2)
+        return up + low
+
+
+class Lin(nn.Module):
+    """1x1 conv -> BN -> ReLU head (model/hourglass_torch7.py:124-129)."""
+
+    features: int
+    momentum: Optional[float] = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, momentum="__unset__"):
+        if momentum == "__unset__":
+            momentum = self.momentum
+        x = _conv(self.features, 1, "conv", dtype=self.dtype,
+                  fan_in=x.shape[-1])(x)
+        x = TorchBatchNorm(momentum=self.momentum, name="bn")(
+            x.astype(jnp.float32), train=train, momentum=momentum
+        ).astype(self.dtype)
+        return nn.relu(x)
+
+
+class MainModel(nn.Module):
+    """The full 8-stack detector (model/hourglass_torch7.py:78-129).
+    Input (B, 256, 256, 3) -> output (S, B, 64, 64, 16) heatmaps, one per
+    stack for intermediate supervision."""
+
+    n_stacks: int = N_STACKS
+    features: int = N_FEATURES
+    n_joints: int = N_JOINTS
+    depth: int = N_DEPTH
+    momentum: Optional[float] = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, momentum="__unset__"):
+        if momentum == "__unset__":
+            momentum = self.momentum
+        x = x.astype(self.dtype)
+        kw = dict(momentum=self.momentum, dtype=self.dtype)
+
+        h = _conv(64, 7, "stem_conv", stride=2, dtype=self.dtype, fan_in=3 * 49)(x)
+        h = TorchBatchNorm(momentum=self.momentum, name="stem_bn")(
+            h.astype(jnp.float32), train=train, momentum=momentum
+        ).astype(self.dtype)
+        h = nn.relu(h)
+        h = ResModule(64, 128, name="stem_res1", **kw)(h, train=train, momentum=momentum)
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = ResModule(128, 128, name="stem_res2", **kw)(h, train=train, momentum=momentum)
+        inter = ResModule(128, self.features, name="stem_res3", **kw)(
+            h, train=train, momentum=momentum
+        )
+
+        heatmaps = []
+        for i in range(self.n_stacks):
+            ll = Hourglass(
+                self.depth, self.features, self.momentum, self.dtype,
+                name=f"hg_{i}",
+            )(inter, train=train, momentum=momentum)
+            ll = Lin(self.features, self.momentum, self.dtype, name=f"lin_{i}")(
+                ll, train=train, momentum=momentum
+            )
+            htmap = _conv(
+                self.n_joints, 1, f"htmap_{i}", dtype=self.dtype,
+                fan_in=self.features,
+            )(ll)
+            heatmaps.append(htmap.astype(jnp.float32))
+            if i < self.n_stacks - 1:
+                ll_ = _conv(
+                    self.features, 1, f"ll_bar_{i}", dtype=self.dtype,
+                    fan_in=self.features,
+                )(ll)
+                htmap_ = _conv(
+                    self.features, 1, f"htmap_bar_{i}", dtype=self.dtype,
+                    fan_in=self.n_joints,
+                )(htmap)
+                inter = inter + ll_ + htmap_
+
+        return jnp.stack(heatmaps, axis=0)  # (S, B, 64, 64, J)
