@@ -1,0 +1,85 @@
+"""Train the stacked-hourglass detector on MPII — the reference's
+train_hourglass.py entry point, TPU-native.
+
+Usage: python -m bilinear_tpu.cli.train_hourglass [--data-dir data/MPII
+       --batch-size 8 --epochs-per-run 10 --variant torch7 ...]
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from bilinear_tpu.config import HourglassConfig, parse_config
+from bilinear_tpu.data.h36m import Task
+from bilinear_tpu.data.mpii import MPIIAnnotations
+from bilinear_tpu.data.pipeline import MPIIHostPipeline
+from bilinear_tpu.io.checkpoint import resume_or_init, save_checkpoint
+from bilinear_tpu.io.logger import get_logger
+from bilinear_tpu.io.tensorboard import TBWriter
+from bilinear_tpu.io.visualize import heatmap_overlay
+from bilinear_tpu.train.hourglass import HourglassTrainer, preprocess_batch
+
+
+def main(argv=None) -> None:
+    cfg = parse_config(HourglassConfig(), argv)
+    logger, log_dir, comment = get_logger(cfg.comment, cfg.save_root)
+    parameter_dir = os.path.join(log_dir, "parameter")
+
+    logger.info("=" * 59)
+    logger.info("Architecture   : StackedHourglass[%s] (TPU-native)", cfg.variant)
+    logger.info("   -devices    : %s", jax.devices())
+    logger.info("Data           : MPII @ %s", cfg.data_dir)
+    logger.info("   -mini batch : %d", cfg.batch_size)
+    logger.info("=" * 59)
+
+    annotations = MPIIAnnotations(cfg.data_dir, Task.Train)
+    pipeline = MPIIHostPipeline(
+        annotations, cfg.batch_size, shuffle=True, seed=cfg.seed
+    )
+
+    trainer = HourglassTrainer(
+        variant=cfg.variant,
+        batch_size=cfg.batch_size,
+        learning_rate=cfg.learning_rate,
+        dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
+    )
+    template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
+    state, start_epoch = resume_or_init(template, parameter_dir)
+    if start_epoch:
+        logger.info("Resumed from epoch %d (step %d)", start_epoch, int(state.step))
+
+    writer = TBWriter(log_dir)
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    for epoch in range(start_epoch + 1, start_epoch + cfg.epochs_per_run + 1):
+        state, loss = trainer.fit_epoch(
+            state, pipeline, epoch, jax.random.fold_in(rng, epoch),
+            log_every=50, logger=logger,
+        )
+        save_checkpoint(parameter_dir, epoch, state)
+        loss = float(loss)
+        writer.scalar("HG/loss", loss, int(state.step))
+        logger.info("Epoch %d saved (loss: %f)", epoch, loss)
+
+        # Heatmap-overlay TB images, as in train_hourglass.py:84-89.
+        batch = next(iter(pipeline.epoch(epoch)))
+        crops, targets, _ = preprocess_batch(
+            jax.random.PRNGKey(0), jnp.asarray(batch.images),
+            jnp.asarray(batch.centers), jnp.asarray(batch.scales),
+            jnp.asarray(batch.keypoints), jnp.asarray(batch.valid),
+            augment=False,
+        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        pred = trainer.model.apply(variables, crops, train=False)
+        tgt = jnp.transpose(targets, (0, 2, 3, 1))[None]
+        writer.image(f"{comment}/train/ground-truth",
+                     heatmap_overlay(crops, tgt), int(state.step))
+        writer.image(f"{comment}/train/prediction",
+                     heatmap_overlay(crops, pred), int(state.step))
+
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

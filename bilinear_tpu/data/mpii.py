@@ -1,0 +1,148 @@
+"""MPII annotation parsing, train/valid split persistence, and per-record
+annotation extraction.
+
+Replicates the reference contract (MPII/data.py:14-143) without torch:
+
+- parses the official ``mpii_human_pose_v1_u12_1.mat`` with
+  scipy.io.loadmat(squeeze_me=True, struct_as_record=False);
+- generates-or-loads a shuffled 90/10 train/valid split over (img_idx, r_idx)
+  person rects whose objpos annotation is intact, persisted to
+  ``{root}/MPII-{train,valid}.txt`` (refresh_subset, MPII/data.py:37-68);
+- per-record annotation math, exactly: scale = 1.25*anno.scale, center =
+  objpos + (0, 15*anno.scale), PCKh head size = 0.6*||head-rect diagonal||
+  (MPII/data.py:83-93); keypoint positions NaN-initialized with a validity
+  mask (:99-100).
+
+Image decoding and all geometric/color work happen elsewhere (device ops +
+the host pipeline): this module is pure annotation bookkeeping.
+"""
+from __future__ import annotations
+
+import math
+import os
+import random as py_random
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+import scipy.io
+
+from bilinear_tpu.data.h36m import Task
+
+NUM_JOINTS = 16
+
+
+@dataclass
+class MPIIRecord:
+    image_name: str
+    center: np.ndarray  # (2,) float32 — already includes the +15*scale y shift
+    scale: float  # already includes the 1.25 factor
+    head: float  # PCKh reference length
+    keypoints: np.ndarray  # (16, 2) float32, NaN where unannotated
+    valid: np.ndarray  # (16,) bool
+    img_idx: int  # 0-based into annolist
+    r_idx: int  # 0-based into annorect
+
+
+def _as_list(x):
+    return list(x) if isinstance(x, np.ndarray) else [x]
+
+
+class MPIIAnnotations:
+    """Parsed .mat + split files. ``task`` selects the persisted subset."""
+
+    def __init__(self, root: str, task: str, mat_name: str = "mpii_human_pose_v1_u12_2/mpii_human_pose_v1_u12_1.mat"):
+        self.root = root
+        self.task = task
+        self.image_dir = os.path.join(root, "images")
+
+        mat_path = os.path.join(root, mat_name)
+        release = scipy.io.loadmat(
+            mat_path, squeeze_me=True, struct_as_record=False
+        )["RELEASE"]
+        self.annolist = _as_list(release.annolist)
+        self.img_train = np.atleast_1d(np.asarray(release.img_train))
+        self.single_person = getattr(release, "single_person", None)
+
+        subset_path = os.path.join(root, f"MPII-{task}.txt")
+        if not os.path.exists(subset_path):
+            self.refresh_subset()
+        self.subset = np.atleast_2d(np.loadtxt(subset_path, dtype=np.int32))
+
+    # ------------------------------------------------------------- split
+    def refresh_subset(self, train_fraction: float = 0.9, seed: Optional[int] = None):
+        """Shuffled 90/10 split over rects with intact objpos
+        (MPII/data.py:37-68)."""
+        correct: List[Tuple[int, int]] = []
+        for img_idx in np.nonzero(self.img_train != 0)[0]:
+            annorect = _as_list(self.annolist[img_idx].annorect)
+            for r_idx, rect in enumerate(annorect):
+                try:
+                    assert rect.objpos.y  # annotation-intact probe
+                    correct.append((int(img_idx), int(r_idx)))
+                except Exception:
+                    continue
+        rng = py_random.Random(seed)
+        rng.shuffle(correct)
+        arr = np.asarray(correct, dtype=np.int64).reshape(-1, 2)
+        n_train = int(train_fraction * len(arr))
+        np.savetxt(os.path.join(self.root, "MPII-train.txt"), arr[:n_train], fmt="%u")
+        np.savetxt(os.path.join(self.root, "MPII-valid.txt"), arr[n_train:], fmt="%u")
+
+    # ------------------------------------------------------------ records
+    def __len__(self) -> int:
+        return len(self.subset)
+
+    def record(self, index: int) -> MPIIRecord:
+        img_idx, r_idx = (int(v) for v in self.subset[index])
+        anno = self.annolist[img_idx]
+        rect = _as_list(anno.annorect)[r_idx]
+
+        raw_scale = float(rect.scale)
+        center = np.asarray(
+            [float(rect.objpos.x), float(rect.objpos.y) + 15.0 * raw_scale],
+            np.float32,
+        )
+        scale = 1.25 * raw_scale
+        head = 0.6 * math.sqrt(
+            (float(rect.x2) - float(rect.x1)) ** 2
+            + (float(rect.y2) - float(rect.y1)) ** 2
+        )
+
+        keypoints = np.full((NUM_JOINTS, 2), np.nan, np.float32)
+        valid = np.zeros(NUM_JOINTS, bool)
+        points = getattr(getattr(rect, "annopoints", None), "point", None)
+        if points is not None:
+            for kp in _as_list(points):
+                j = int(kp.id)
+                keypoints[j] = [float(kp.x), float(kp.y)]
+                valid[j] = True
+
+        return MPIIRecord(
+            image_name=str(anno.image.name),
+            center=center,
+            scale=scale,
+            head=head,
+            keypoints=keypoints,
+            valid=valid,
+            img_idx=img_idx,
+            r_idx=r_idx,
+        )
+
+    def image_path(self, record: MPIIRecord) -> str:
+        return os.path.join(self.image_dir, record.image_name)
+
+    # -------------------------------------------------- official test set
+    def test_rects(self) -> List[Tuple[int, int]]:
+        """(img_idx, r_idx) pairs of the official test images' single_person
+        rects (eval_hourglass.py:62-126; indices stored 1-based there, 0-based
+        here)."""
+        out = []
+        singles = _as_list(self.single_person)
+        for img_idx in np.nonzero(self.img_train == 0)[0]:
+            ridxs = singles[img_idx]
+            ridxs = np.atleast_1d(np.asarray(ridxs)).astype(np.int64)
+            for r in ridxs.reshape(-1):
+                if r >= 1:
+                    out.append((int(img_idx), int(r) - 1))
+        return out

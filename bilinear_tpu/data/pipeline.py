@@ -1,0 +1,184 @@
+"""Host-side image pipeline: decode -> region pre-crop -> static canvas.
+
+The reference feeds 8 torch DataLoader worker processes that each run the
+full PIL crop/rotate/flip/jitter per sample (MPII/data.py:70-140 — the CPU
+hot loop, SURVEY.md §3.3). The TPU-native split is different:
+
+- HOST (this module): JPEG decode + a cheap uint8 region pre-crop onto a
+  fixed-size canvas, downscaling with PIL BILINEAR only when the (augmented,
+  rotated) crop region cannot fit — the same resample the reference's
+  crop_ratio>=2 path performs (MPII/util.py:22-35). All annotation coords are
+  remapped into canvas space.
+- DEVICE: everything geometric/photometric (affine crop+rotate, flip, color
+  jitter, heatmap render) runs batched inside the jitted train step
+  (ops/affine.py, ops/augment.py, ops/heatmap.py).
+
+A double-buffered thread prefetcher overlaps host decode with device compute
+(replaces worker processes; no pickling, no per-batch torch tensors).
+"""
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from bilinear_tpu.data.mpii import MPIIAnnotations, MPIIRecord
+
+# Margin covering scale jitter (x2^0.5) and rotation (x sqrt(2)) around the
+# 200*scale crop box.
+REGION_MARGIN = 2.05
+
+
+@dataclass
+class CanvasBatch:
+    """Device-ready host arrays, all canvas-space."""
+
+    images: np.ndarray  # (B, C, C, 3) float32 in [0, 1]
+    centers: np.ndarray  # (B, 2)
+    scales: np.ndarray  # (B,)
+    keypoints: np.ndarray  # (B, 16, 2), NaN where unannotated
+    valid: np.ndarray  # (B, 16) bool
+    heads: np.ndarray  # (B,)
+    index: np.ndarray  # (B,) dataset indices (for eval bookkeeping)
+    pad: int  # number of zero-padded tail entries
+
+
+def record_to_canvas(
+    image: Image.Image, record: MPIIRecord, canvas: int
+) -> tuple[np.ndarray, np.ndarray, float, np.ndarray]:
+    """Pre-crop the needed region onto a (canvas, canvas) array; return
+    (canvas_img float32, new_center, new_scale, new_keypoints)."""
+    center = record.center.astype(np.float64).copy()
+    scale = float(record.scale)
+    keypoints = record.keypoints.astype(np.float64).copy()
+
+    half = 100.0 * scale * REGION_MARGIN
+    if 2 * half > canvas:
+        f = (2 * half) / canvas
+        new_w = max(2, math.floor(image.width / f))
+        new_h = max(2, math.floor(image.height / f))
+        image = image.resize((new_w, new_h), Image.BILINEAR)
+        center /= f
+        scale /= f
+        keypoints /= f
+        half /= f
+
+    ul = np.floor(center - half).astype(np.int64)
+    region = np.zeros((canvas, canvas, 3), np.float32)
+    src = np.asarray(image, np.float32) / 255.0
+    if src.ndim == 2:
+        src = np.stack([src] * 3, axis=-1)
+    sy0, sx0 = max(0, ul[1]), max(0, ul[0])
+    sy1 = min(image.height, ul[1] + canvas)
+    sx1 = min(image.width, ul[0] + canvas)
+    dy0, dx0 = sy0 - ul[1], sx0 - ul[0]
+    if sy1 > sy0 and sx1 > sx0:
+        region[dy0 : dy0 + (sy1 - sy0), dx0 : dx0 + (sx1 - sx0)] = src[
+            sy0:sy1, sx0:sx1
+        ]
+
+    offset = ul.astype(np.float64)
+    return region, (center - offset).astype(np.float32), float(scale), (
+        keypoints - offset
+    ).astype(np.float32)
+
+
+class MPIIHostPipeline:
+    """Batched, optionally-prefetched canvas batches over an MPII subset."""
+
+    def __init__(
+        self,
+        annotations: MPIIAnnotations,
+        batch_size: int,
+        canvas: int = 512,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        pad: bool = False,
+    ):
+        self.annotations = annotations
+        self.batch_size = batch_size
+        self.canvas = canvas
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        # pad=True zero-fills the final short batch to batch_size (static
+        # shapes for jitted eval); pad=False emits it short (training keeps
+        # the reference's drop_last=False semantics without fake samples).
+        self.pad = pad
+
+    def __len__(self) -> int:
+        n = len(self.annotations)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _load(self, indices: Sequence[int]) -> CanvasBatch:
+        B = self.batch_size if self.pad else len(indices)
+        images = np.zeros((B, self.canvas, self.canvas, 3), np.float32)
+        centers = np.zeros((B, 2), np.float32)
+        scales = np.ones(B, np.float32)
+        keypoints = np.full((B, 16, 2), np.nan, np.float32)
+        valid = np.zeros((B, 16), bool)
+        heads = np.ones(B, np.float32)
+        idx_arr = np.full(B, -1, np.int64)
+        for slot, index in enumerate(indices):
+            rec = self.annotations.record(index)
+            with Image.open(self.annotations.image_path(rec)) as img:
+                img = img.convert("RGB")
+                region, c, s, kp = record_to_canvas(img, rec, self.canvas)
+            images[slot] = region
+            centers[slot] = c
+            scales[slot] = s
+            keypoints[slot] = kp
+            valid[slot] = rec.valid
+            heads[slot] = rec.head
+            idx_arr[slot] = index
+        return CanvasBatch(
+            images, centers, scales, keypoints, valid, heads, idx_arr,
+            pad=B - len(indices),
+        )
+
+    def _index_batches(self, epoch: int) -> List[List[int]]:
+        n = len(self.annotations)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        batches = [
+            list(order[i : i + self.batch_size])
+            for i in range(0, n, self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator[CanvasBatch]:
+        return self.epoch(0)
+
+    def epoch(self, epoch: int = 0, prefetch: int = 2) -> Iterator[CanvasBatch]:
+        batches = self._index_batches(epoch)
+        if prefetch <= 0:
+            for b in batches:
+                yield self._load(b)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    q.put(self._load(b))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

@@ -60,6 +60,98 @@ def make_h36m_bin(
     }
 
 
+def make_mpii_mat(
+    n_train_images: int = 8,
+    n_test_images: int = 2,
+    img_size=(240, 320),
+    seed: int = 0,
+):
+    """Build a RELEASE-shaped dict that scipy.io round-trips into the same
+    attribute structure the official mpii_human_pose_v1_u12_1.mat loads as
+    (MPII/data.py:23-25): annolist[i].image.name / .annorect[r].{scale,
+    objpos.{x,y}, x1..y2, annopoints.point[k].{x,y,id}}, img_train,
+    single_person."""
+    rng = np.random.RandomState(seed)
+    h, w = img_size
+    annolist = []
+    img_train = []
+    single_person = []
+    n = n_train_images + n_test_images
+    for i in range(n):
+        rects = []
+        for _ in range(1 + int(rng.rand() < 0.5)):
+            scale = float(rng.uniform(0.5, 1.2))
+            cx = float(rng.uniform(w * 0.3, w * 0.7))
+            cy = float(rng.uniform(h * 0.3, h * 0.7))
+            n_pts = int(rng.randint(12, 17))
+            ids = rng.permutation(16)[:n_pts]
+            points = [
+                {
+                    "x": float(np.clip(cx + rng.randn() * 40 * scale, 0, w - 1)),
+                    "y": float(np.clip(cy + rng.randn() * 60 * scale, 0, h - 1)),
+                    "id": int(j),
+                }
+                for j in ids
+            ]
+            rects.append(
+                {
+                    "scale": scale,
+                    "objpos": {"x": cx, "y": cy},
+                    "x1": cx - 15 * scale,
+                    "y1": cy - 80 * scale,
+                    "x2": cx + 15 * scale,
+                    "y2": cy - 60 * scale,
+                    "annopoints": {"point": np.asarray(points, dtype=object)},
+                }
+            )
+        annolist.append(
+            {
+                "image": {"name": f"{i:09d}.jpg"},
+                "annorect": np.asarray(rects, dtype=object),
+            }
+        )
+        is_train = i < n_train_images
+        img_train.append(1 if is_train else 0)
+        single_person.append(np.asarray([1], dtype=np.int64))
+    return {
+        "RELEASE": {
+            "annolist": np.asarray(annolist, dtype=object),
+            "img_train": np.asarray(img_train, dtype=np.int64),
+            "single_person": np.asarray(single_person, dtype=object),
+        }
+    }
+
+
+def write_mpii_dataset(
+    root: str,
+    n_train_images: int = 8,
+    n_test_images: int = 2,
+    img_size=(240, 320),
+    seed: int = 0,
+) -> str:
+    """Write a synthetic MPII tree: images/ + the .mat at the official
+    relative path."""
+    import scipy.io
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "mpii_human_pose_v1_u12_2"), exist_ok=True)
+    mat = make_mpii_mat(n_train_images, n_test_images, img_size, seed)
+    scipy.io.savemat(
+        os.path.join(root, "mpii_human_pose_v1_u12_2", "mpii_human_pose_v1_u12_1.mat"),
+        mat,
+        long_field_names=True,
+    )
+    rng = np.random.RandomState(seed + 100)
+    h, w = img_size
+    n = n_train_images + n_test_images
+    for i in range(n):
+        small = (rng.rand(h // 8, w // 8, 3) * 255).astype(np.uint8)
+        img = Image.fromarray(small).resize((w, h), Image.BILINEAR)
+        img.save(os.path.join(root, "images", f"{i:09d}.jpg"), quality=92)
+    return root
+
+
 def write_h36m_dataset(
     data_dir: str,
     n_train: int = 128,

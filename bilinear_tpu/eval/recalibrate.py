@@ -1,0 +1,58 @@
+"""Eval-time BatchNorm recalibration — the reference's protocol
+(valid_hourglass.py:23-48) as a pure-functional streaming pass.
+
+Reference protocol: ``reset_statistics()`` zeroes every BN running stat and
+switches momentum to None (cumulative), then a full no-grad pass over the
+TRAIN split in train() mode rebuilds the running statistics; only then does
+eval() run. Functionally: reset the batch_stats collection, then fold each
+(un-augmented, preprocessed) train batch through the model in train mode with
+momentum=None, carrying batch_stats.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bilinear_tpu.core.norm import reset_batch_stats
+from bilinear_tpu.train.hourglass import preprocess_batch
+
+
+def make_recalibrate_step(model):
+    """Returns a jitted (params, batch_stats, canvas_batch) ->
+    new_batch_stats step (cumulative BN update, no gradients)."""
+
+    @jax.jit
+    def step(params, batch_stats, images, centers, scales, keypoints, valid):
+        crops, _, _ = preprocess_batch(
+            jax.random.PRNGKey(0),
+            images,
+            centers,
+            scales,
+            keypoints,
+            valid,
+            augment=False,
+        )
+        _, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            crops,
+            train=True,
+            momentum=None,  # cumulative, matching reset_statistics()
+            mutable=["batch_stats"],
+        )
+        return mut["batch_stats"]
+
+    return step
+
+
+def recalibrate(model, params, batch_stats, pipeline, max_batches=None):
+    """Reset and rebuild batch_stats over the (augment=False) train split."""
+    stats = reset_batch_stats(batch_stats)
+    step = make_recalibrate_step(model)
+    for i, batch in enumerate(pipeline.epoch(0)):
+        if max_batches is not None and i >= max_batches:
+            break
+        stats = step(
+            params, stats, batch.images, batch.centers, batch.scales,
+            batch.keypoints, batch.valid,
+        )
+    return stats

@@ -1,0 +1,184 @@
+"""Hourglass trainer — preprocess + forward + loss + RMSprop in one program.
+
+The reference's hot loop (train_hourglass.py:63-95, SURVEY.md §3.3) spends
+its time in DataLoader workers doing per-sample PIL geometry. Here the whole
+per-batch pipeline is ONE jitted XLA program on device:
+
+    canvas batch -> sample augment params -> affine crop+rotate -> flip
+    -> color jitter -> Gaussian heatmap render -> hourglass forward
+    -> sum-of-stacks MSE -> clip(1.0) -> RMSprop(2.5e-4)
+
+Protocol parity with train_hourglass.py: loss = sum over stacks of the
+per-stack mean MSE vs target heatmaps (:76), grad-clip max-norm 1 (:79),
+RMSprop lr 2.5e-4 (model/hourglass_torch7.py:134), torch7 variant by default
+(:45); step counter starts at 1, 10 epochs per invocation, per-epoch
+checkpoints.
+
+Augmentation parity (MPII/data.py:83-138): scale *= 2^rand(0.25); rotation
+rand(30) w.p. 0.4; flip w.p. 0.4 with L/R joint swap, keypoint mirror about
+center.x and rotate negation; ColorJitter(.3,.3,.3,.3); out-of-bounds joints
+masked out of the heatmap target.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bilinear_tpu.core.optim import hourglass_optimizer
+from bilinear_tpu.core.state import TrainState
+from bilinear_tpu.models.hourglass import StackedHourglass
+from bilinear_tpu.models.hourglass_torch7 import MainModel
+from bilinear_tpu.ops import augment as aug
+from bilinear_tpu.ops.affine import crop_batch, hflip
+from bilinear_tpu.ops.heatmap import keypoints_to_heatmap_space, render_heatmaps
+from bilinear_tpu.ops.joints import MPII_FLIP_SWAP
+from bilinear_tpu.parallel import mesh as mesh_lib
+
+
+def make_model(variant: str = "torch7", dtype=jnp.float32):
+    """'torch7' = the network train_hourglass.py trains; 'preact' = the
+    re-implementation train_hourglass_FT.py fine-tunes."""
+    if variant == "torch7":
+        return MainModel(dtype=dtype)
+    if variant == "preact":
+        return StackedHourglass(dtype=dtype)
+    raise ValueError(f"unknown hourglass variant {variant!r}")
+
+
+def preprocess_batch(
+    rng: jax.Array,
+    images,  # (B, C, C, 3) canvases
+    centers,  # (B, 2) canvas-space
+    scales,  # (B,)
+    keypoints,  # (B, 16, 2) canvas-space, NaN where unannotated
+    valid,  # (B, 16)
+    augment: bool,
+    res: int = 256,
+    heatmap_size: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Device-side crop/augment/render. Returns (crops, target_heatmaps,
+    positions). Fully static shapes; 'augment=False' is the eval path."""
+    B = images.shape[0]
+    if augment:
+        k_geo, k_jit = jax.random.split(rng)
+        params = aug.sample_geometry(k_geo, B)
+        scales = scales * params.scale_factor
+        rotate = params.rotate_deg
+        flip = params.flip
+    else:
+        rotate = jnp.zeros(B)
+        flip = jnp.zeros(B, bool)
+
+    crops = crop_batch(images, centers, scales, rotate, res=res)
+
+    if augment:
+        crops = jnp.where(flip[:, None, None, None], hflip(crops), crops)
+        mirrored = aug.flip_keypoints_x(keypoints, centers[:, 0:1], MPII_FLIP_SWAP)
+        keypoints = jnp.where(flip[:, None, None], mirrored, keypoints)
+        valid = jnp.where(flip[:, None], valid[:, MPII_FLIP_SWAP], valid)
+        rotate = jnp.where(flip, -rotate, rotate)
+        jit_keys = jax.random.split(k_jit, B)
+        crops = jax.vmap(aug.color_jitter)(jit_keys, crops)
+
+    hm_xy = keypoints_to_heatmap_space(
+        jnp.nan_to_num(keypoints), centers, scales, rotate, size=heatmap_size
+    )
+    heatmaps = render_heatmaps(hm_xy, valid, size=heatmap_size)
+    return crops, heatmaps, keypoints
+
+
+class HourglassTrainer:
+    def __init__(
+        self,
+        variant: str = "torch7",
+        batch_size: int = 8,
+        learning_rate: float = 2.5e-4,
+        mesh=None,
+        dtype=jnp.float32,
+        canvas: int = 512,
+        joint_remap=None,  # e.g. FROM_H36M_TO_MPII for the FT pipeline
+    ):
+        self.variant = variant
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.canvas = canvas
+        self.model = make_model(variant, dtype)
+        self.tx = hourglass_optimizer(learning_rate)
+        self.joint_remap = joint_remap
+        self._step = None
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        variables = self.model.init(
+            rng, jnp.zeros((1, 256, 256, 3), jnp.float32), train=False
+        )
+        return TrainState.create(
+            variables["params"], variables["batch_stats"], self.tx
+        )
+
+    # ------------------------------------------------------------- step
+    def _train_step(self, state: TrainState, batch: dict, rng: jax.Array):
+        images = batch["images"]
+        if self.mesh is not None:
+            images = mesh_lib.constrain_batch(images, self.mesh)
+
+        k_pre, k_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+        crops, targets, _ = preprocess_batch(
+            k_pre,
+            images,
+            batch["centers"],
+            batch["scales"],
+            batch["keypoints"],
+            batch["valid"],
+            augment=True,
+        )
+        if self.joint_remap is not None:
+            targets = jnp.take(targets, jnp.asarray(self.joint_remap), axis=-3)
+
+        def loss_fn(params):
+            out, mut = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                crops,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            # (S, B, H, W, J) vs (B, J, H, W) targets
+            tgt = jnp.transpose(targets, (0, 2, 3, 1))  # (B, H, W, J)
+            loss = jnp.sum(
+                jnp.mean(jnp.square(out - tgt[None]), axis=(1, 2, 3, 4))
+            )  # sum over stacks of per-stack mean MSE (train_hourglass.py:76)
+            return loss, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_updates(self.tx, grads).replace(batch_stats=new_stats)
+        return state, loss
+
+    @property
+    def train_step(self):
+        if self._step is None:
+            self._step = jax.jit(self._train_step)
+        return self._step
+
+    def fit_epoch(self, state: TrainState, pipeline, epoch: int, rng: jax.Array,
+                  log_every: int = 0, logger=None):
+        last_loss = None
+        for i, batch in enumerate(pipeline.epoch(epoch)):
+            state, loss = self.train_step(
+                state,
+                {
+                    "images": batch.images,
+                    "centers": batch.centers,
+                    "scales": batch.scales,
+                    "keypoints": batch.keypoints,
+                    "valid": batch.valid,
+                },
+                rng,
+            )
+            last_loss = loss
+            if log_every and logger and (i + 1) % log_every == 0:
+                logger.info("epoch %d step %d loss %f", epoch, i + 1, float(loss))
+        return state, last_loss

@@ -1,0 +1,195 @@
+"""M3 integration: MPII pipeline -> hourglass training -> PCKh eval, all on
+synthetic data with small model configs (CPU-feasible)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bilinear_tpu.data.h36m import Task
+from bilinear_tpu.data.mpii import MPIIAnnotations
+from bilinear_tpu.data.pipeline import MPIIHostPipeline
+from bilinear_tpu.data.synthetic import write_mpii_dataset
+from bilinear_tpu.eval.pckh import evaluate_pckh
+from bilinear_tpu.eval.recalibrate import recalibrate
+from bilinear_tpu.models.hourglass_torch7 import MainModel
+from bilinear_tpu.train.hourglass import HourglassTrainer, preprocess_batch
+
+
+@pytest.fixture(scope="module")
+def mpii_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("MPII")
+    return write_mpii_dataset(str(root), n_train_images=10, n_test_images=2)
+
+
+@pytest.fixture(scope="module")
+def small_trainer():
+    t = HourglassTrainer(batch_size=4, canvas=256)
+    t.model = MainModel(n_stacks=2, features=16, depth=2)
+    return t
+
+
+def test_split_files_created_and_disjoint(mpii_root):
+    tr = MPIIAnnotations(mpii_root, Task.Train)
+    va = MPIIAnnotations(mpii_root, Task.Valid)
+    tr_set = {tuple(r) for r in tr.subset}
+    va_set = {tuple(r) for r in va.subset}
+    assert tr_set and va_set
+    assert not (tr_set & va_set)
+    # ~90/10
+    assert len(tr_set) == int(0.9 * (len(tr_set) + len(va_set)))
+
+
+def test_record_annotation_math(mpii_root):
+    """scale 1.25x, center y-offset 15*raw_scale, head 0.6*diag
+    (MPII/data.py:83-93)."""
+    anns = MPIIAnnotations(mpii_root, Task.Train)
+    rec = anns.record(0)
+    rect = anns.annolist[rec.img_idx].annorect
+    if isinstance(rect, np.ndarray):
+        rect = rect[rec.r_idx]
+    raw = float(rect.scale)
+    assert rec.scale == pytest.approx(1.25 * raw)
+    assert rec.center[1] == pytest.approx(float(rect.objpos.y) + 15 * raw)
+    diag = np.hypot(float(rect.x2) - float(rect.x1), float(rect.y2) - float(rect.y1))
+    assert rec.head == pytest.approx(0.6 * diag)
+    assert np.isnan(rec.keypoints[~rec.valid]).all()
+
+
+def test_canvas_batch_contains_keypoints(mpii_root):
+    anns = MPIIAnnotations(mpii_root, Task.Train)
+    pipe = MPIIHostPipeline(anns, batch_size=4, canvas=256)
+    batch = next(iter(pipe))
+    assert batch.images.shape == (4, 256, 256, 3)
+    assert batch.images.max() <= 1.0 and batch.images.min() >= 0.0
+    # Annotated keypoints should land inside the canvas.
+    kp = batch.keypoints[batch.valid]
+    assert (kp >= -1).all() and (kp < 256 + 1).all()
+
+
+def test_preprocess_batch_eval_deterministic(mpii_root):
+    anns = MPIIAnnotations(mpii_root, Task.Train)
+    pipe = MPIIHostPipeline(anns, batch_size=2, canvas=256)
+    b = next(iter(pipe))
+    args = (
+        jnp.asarray(b.images), jnp.asarray(b.centers), jnp.asarray(b.scales),
+        jnp.asarray(b.keypoints), jnp.asarray(b.valid),
+    )
+    c1, h1, _ = preprocess_batch(jax.random.PRNGKey(0), *args, augment=False)
+    c2, h2, _ = preprocess_batch(jax.random.PRNGKey(5), *args, augment=False)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    assert c1.shape == (2, 256, 256, 3)
+    assert h1.shape == (2, 16, 64, 64)
+    # Heatmaps render only for valid in-bounds joints; peak value 1.
+    assert 0.99 <= float(h1.max()) <= 1.0
+
+
+def test_preprocess_batch_augment_varies(mpii_root):
+    anns = MPIIAnnotations(mpii_root, Task.Train)
+    pipe = MPIIHostPipeline(anns, batch_size=2, canvas=256)
+    b = next(iter(pipe))
+    args = (
+        jnp.asarray(b.images), jnp.asarray(b.centers), jnp.asarray(b.scales),
+        jnp.asarray(b.keypoints), jnp.asarray(b.valid),
+    )
+    c1, _, _ = preprocess_batch(jax.random.PRNGKey(0), *args, augment=True)
+    c2, _, _ = preprocess_batch(jax.random.PRNGKey(1), *args, augment=True)
+    assert not np.allclose(np.asarray(c1), np.asarray(c2))
+
+
+def test_hourglass_training_loss_decreases(mpii_root, small_trainer):
+    anns = MPIIAnnotations(mpii_root, Task.Train)
+    pipe = MPIIHostPipeline(anns, batch_size=4, canvas=256, shuffle=True,
+                            drop_last=True)
+    state = small_trainer.init_state(jax.random.PRNGKey(0))
+    losses = []
+    for epoch in range(4):
+        state, loss = small_trainer.fit_epoch(
+            state, pipe, epoch, jax.random.PRNGKey(1)
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert int(state.step) > 1
+
+
+def test_pckh_eval_protocol(mpii_root, small_trainer):
+    """Recalibrate + flip-TTA eval runs, yields sane percentages, and pads
+    correctly."""
+    state = small_trainer.init_state(jax.random.PRNGKey(0))
+    train_pipe = MPIIHostPipeline(
+        MPIIAnnotations(mpii_root, Task.Train), 4, canvas=256, pad=True
+    )
+    stats = recalibrate(
+        small_trainer.model, state.params, state.batch_stats, train_pipe,
+        max_batches=2,
+    )
+    count = jax.tree.leaves(
+        {k: v for k, v in stats.items() if True}
+    )
+    valid_pipe = MPIIHostPipeline(
+        MPIIAnnotations(mpii_root, Task.Valid), 4, canvas=256, pad=True
+    )
+    per_joint, avg = evaluate_pckh(
+        small_trainer.model,
+        {"params": state.params, "batch_stats": stats},
+        valid_pipe,
+    )
+    assert 0.0 <= avg <= 100.0
+    assert len(per_joint) == 14
+    # Recalibration actually updated the counters.
+    flat = jax.tree_util.tree_flatten_with_path(stats)[0]
+    counts = [v for p, v in flat if str(p[-1].key) == "count"]
+    assert all(int(c) == 2 for c in counts)
+
+
+def test_pckh_perfect_predictor_scores_100(mpii_root):
+    """If the model emits exact GT heatmaps, PCKh must be 100 on annotated
+    joints (protocol self-consistency, including flip TTA)."""
+    from bilinear_tpu.ops.joints import MPII_FLIP_SWAP
+
+    class Oracle:
+        def apply(self, variables, crops, train=False, **kw):
+            # variables carries the target heatmaps for this batch.
+            return variables["targets"]
+
+    anns = MPIIAnnotations(mpii_root, Task.Valid)
+    pipe = MPIIHostPipeline(anns, batch_size=2, canvas=256, pad=True)
+    from bilinear_tpu.eval.pckh import make_pckh_step
+
+    hit = np.zeros(14, np.int64)
+    total = np.zeros(14, np.int64)
+    for batch in pipe.epoch(0):
+        args = (
+            jnp.asarray(batch.images), jnp.asarray(batch.centers),
+            jnp.asarray(batch.scales), jnp.asarray(batch.keypoints),
+            jnp.asarray(batch.valid),
+        )
+        _, targets, _ = preprocess_batch(jax.random.PRNGKey(0), *args, augment=False)
+        # Build the model output the decoder expects: (S, B, H, W, J); make
+        # it flip-symmetric so flip-TTA averages to the same map. The two
+        # "forward passes" inside the step read t1/t2 from `variables`, so
+        # they stay traced arguments (no constant folding, no order issues).
+        tgt = jnp.transpose(targets, (0, 2, 3, 1))[None]
+        flipped = jnp.flip(tgt[..., MPII_FLIP_SWAP], axis=-2)
+
+        class Both:
+            def __init__(self):
+                self.calls = 0
+
+            def apply(self, variables, crops, train=False, **kw):
+                self.calls += 1
+                return variables["t1"] if self.calls % 2 == 1 else variables["t2"]
+
+        from bilinear_tpu.eval import pckh as pckh_mod
+
+        step = pckh_mod.make_pckh_step(Both())
+        h, t = step(
+            {"t1": tgt, "t2": flipped}, *args,
+            jnp.asarray(batch.heads), jnp.asarray(batch.index >= 0),
+        )
+        hit += np.asarray(h, np.int64)
+        total += np.asarray(t, np.int64)
+    assert total.sum() > 0
+    # Argmax decode quantizes to 64-grid: allow the rare sub-threshold miss
+    # for tiny heads, but require near-perfect overall.
+    assert hit.sum() / total.sum() > 0.95
