@@ -27,9 +27,10 @@ def make_h36m_bin(
     n: int,
     seed: int = 0,
     subjects: Optional[List[str]] = None,
+    img_size: int = 256,
 ) -> Dict[str, list]:
     """Generate a plausible random H36M annotation dict: 3D skeletons around
-    camera space z~5000 mm, 2D parts as a noisy projection-like mapping."""
+    camera space z~5000 mm, 2D parts placed inside an img_size^2 frame."""
     rng = np.random.RandomState(seed)
     subjects = subjects or ["S1", "S5"]
 
@@ -38,8 +39,21 @@ def make_h36m_bin(
     # Pelvis anchors the skeleton near the body center.
     s[:, 0, :] = s.mean(axis=1)
 
-    part = (s[:, :, :2] / s[:, :, 2:3]) * 1000.0 + 500.0
-    part += rng.randn(n, 17, 2).astype(np.float32) * 2.0
+    centers = [
+        np.asarray(
+            [img_size / 2 + rng.uniform(-20, 20), img_size / 2 + rng.uniform(-20, 20)],
+            np.float32,
+        )
+        for _ in range(n)
+    ]
+    scales = [float(rng.uniform(0.5, 0.8)) for _ in range(n)]  # box 100-160 px
+    part = np.stack(
+        [
+            centers[i]
+            + (s[i, :, :2] - s[i, :, :2].mean(0)) * (100.0 * scales[i] / 700.0)
+            for i in range(n)
+        ]
+    ).astype(np.float32)
 
     images = []
     for i in range(n):
@@ -47,9 +61,6 @@ def make_h36m_bin(
         action = ACTIONS[i % len(ACTIONS)]
         camera = CAMERAS[i % len(CAMERAS)]
         images.append(f"{subject}_{action}.{camera}_{i:06d}.jpg")
-
-    centers = [part[i].mean(axis=0).astype(np.float32) for i in range(n)]
-    scales = [float(2.0 + rng.rand()) for _ in range(n)]
 
     return {
         "image": images,
@@ -158,10 +169,29 @@ def write_h36m_dataset(
     n_valid: int = 64,
     protocol: str = "GT",
     seed: int = 0,
+    with_images: bool = False,
+    img_size: int = 256,
 ) -> str:
-    """Write ``{train,valid}_{protocol}.bin`` into ``data_dir`` and return it."""
+    """Write ``{train,valid}_{protocol}.bin`` into ``data_dir`` (and, with
+    ``with_images``, matching ``{data_dir}/{subject}/{image_name}`` jpgs for
+    the hourglass-FT / end2end paths)."""
     os.makedirs(data_dir, exist_ok=True)
     for task, n, s in [("train", n_train, seed), ("valid", n_valid, seed + 1)]:
+        data = make_h36m_bin(n, seed=s, img_size=img_size)
         with open(os.path.join(data_dir, f"{task}_{protocol}.bin"), "wb") as f:
-            pickle.dump(make_h36m_bin(n, seed=s), f)
+            pickle.dump(data, f)
+        if with_images:
+            from PIL import Image
+
+            rng = np.random.RandomState(seed + 7)
+            for name in data["image"]:
+                subject = name.split("_")[0]
+                os.makedirs(os.path.join(data_dir, subject), exist_ok=True)
+                small = (rng.rand(img_size // 8, img_size // 8, 3) * 255).astype(
+                    np.uint8
+                )
+                img = Image.fromarray(small).resize(
+                    (img_size, img_size), Image.BILINEAR
+                )
+                img.save(os.path.join(data_dir, subject, name), quality=90)
     return data_dir

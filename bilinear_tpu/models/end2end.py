@@ -1,0 +1,86 @@
+"""End-to-end hourglass -> soft-argmax -> lifting, as ONE fused XLA program.
+
+The reference sketches this composition but every path is broken: a
+nonexistent ``Model`` package and ``load_model`` API, ``__forward__`` that
+never dispatches, a hard-coded .cuda() and a per-joint Python loop in
+softargmax (model/end2end.py:5-43, train_end2end.py, webcam.py — SURVEY.md
+§2.3 'known defects'). This is the working rebuild of the documented intent,
+TPU-first: the whole detector->decode->normalize->lift chain is a single
+differentiable jitted program (BASELINE.json north star: 'end2end
+hourglass->lifting path fused into one XLA program').
+
+Pipeline per batch:
+  images (B,256,256,3) -> hourglass (8 stacks) -> last-stack heatmaps
+  -> softargmax with the x10 temperature (model/end2end.py:14)
+  -> heatmap space -> image space (center/scale)
+  -> MPII->H36M joint remap with the nose slot deleted (H36M16_FROM_MPII)
+  -> z-score with the H36M train-split part statistics
+  -> BilinearUnit -> normalized 48-d 3D pose.
+
+Submodules are named 'hourglass' and 'bilinear' so params/batch_stats from
+independently trained checkpoints assemble directly into this module's
+variable tree.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bilinear_tpu.models.bilinear import BilinearUnit
+from bilinear_tpu.models.hourglass import StackedHourglass
+from bilinear_tpu.models.hourglass_torch7 import MainModel
+from bilinear_tpu.ops.decode import heatmap_to_image_space, softargmax
+from bilinear_tpu.ops.joints import H36M16_FROM_MPII
+
+
+class End2End(nn.Module):
+    variant: str = "torch7"
+    temperature: float = 10.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        if self.variant == "torch7":
+            self.hourglass = MainModel(dtype=self.dtype, name="hourglass")
+        else:
+            self.hourglass = StackedHourglass(dtype=self.dtype, name="hourglass")
+        self.bilinear = BilinearUnit(dtype=self.dtype, name="bilinear")
+
+    def __call__(
+        self,
+        images,  # (B, 256, 256, 3)
+        centers,  # (B, 2) crop centers in source-image space
+        scales,  # (B,)
+        mean_part,  # (32,) H36M train-split stats
+        std_part,  # (32,)
+        *,
+        train: bool = False,
+    ):
+        """Returns (per-stack heatmaps (S,B,H,W,J), image-space 2D pose
+        (B,16,2 MPII order), normalized 3D pose (B,48))."""
+        heatmaps = self.hourglass(images, train=train)
+        hm = jnp.transpose(heatmaps[-1], (0, 3, 1, 2))  # (B, J, H, W)
+        pose_hm = softargmax(hm, self.temperature)  # (B, J, 2)
+        pose_img = heatmap_to_image_space(pose_hm, centers, scales)
+
+        part16 = jnp.take(pose_img, jnp.asarray(H36M16_FROM_MPII), axis=-2)
+        flat = part16.reshape(part16.shape[0], -1)  # (B, 32)
+        normalized = (flat - mean_part) / std_part
+
+        pose_3d = self.bilinear(normalized, train=train)
+        return heatmaps, pose_img, pose_3d
+
+
+def assemble_variables(hourglass_vars, bilinear_vars):
+    """Merge independently trained checkpoints into End2End's tree."""
+    return {
+        "params": {
+            "hourglass": hourglass_vars["params"],
+            "bilinear": bilinear_vars["params"],
+        },
+        "batch_stats": {
+            "hourglass": hourglass_vars["batch_stats"],
+            "bilinear": bilinear_vars["batch_stats"],
+        },
+    }

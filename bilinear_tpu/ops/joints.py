@@ -57,6 +57,11 @@ FROM_H36M_TO_MPII = np.asarray(
     [6, 5, 4, 1, 2, 3, 0, 7, 8, 9, 15, 14, 13, 10, 11, 12], np.int32
 )
 
+# 16 MPII-ordered detections -> the 16-joint H36M lifting input: the 17-way
+# remap with the 'nose' slot (H36M index 9, a duplicated thorax) deleted —
+# exactly what H36M/data.py:41-43 does to the rewritten SH bins.
+H36M16_FROM_MPII = np.delete(FROM_MPII_TO_H36M, 9)
+
 # PCKh reporting drops pelvis & spine via this reorder:
 # joints [0:6] + [10:16] + [8:10] (valid_hourglass.py:119-128,136).
 PCKH_REORDER = np.asarray(

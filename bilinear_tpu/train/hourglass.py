@@ -58,13 +58,14 @@ def preprocess_batch(
     augment: bool,
     res: int = 256,
     heatmap_size: int = 64,
+    flip_prob: float = 0.4,  # MPII flips w.p. 0.4; H36M-FT never flips
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Device-side crop/augment/render. Returns (crops, target_heatmaps,
     positions). Fully static shapes; 'augment=False' is the eval path."""
     B = images.shape[0]
     if augment:
         k_geo, k_jit = jax.random.split(rng)
-        params = aug.sample_geometry(k_geo, B)
+        params = aug.sample_geometry(k_geo, B, flip_prob=flip_prob)
         scales = scales * params.scale_factor
         rotate = params.rotate_deg
         flip = params.flip
@@ -100,6 +101,7 @@ class HourglassTrainer:
         dtype=jnp.float32,
         canvas: int = 512,
         joint_remap=None,  # e.g. FROM_H36M_TO_MPII for the FT pipeline
+        flip_prob: float = 0.4,  # 0.0 for H36M-FT (the reference never flips H36M)
     ):
         self.variant = variant
         self.batch_size = batch_size
@@ -108,6 +110,7 @@ class HourglassTrainer:
         self.model = make_model(variant, dtype)
         self.tx = hourglass_optimizer(learning_rate)
         self.joint_remap = joint_remap
+        self.flip_prob = flip_prob
         self._step = None
 
     def init_state(self, rng: jax.Array) -> TrainState:
@@ -133,6 +136,7 @@ class HourglassTrainer:
             batch["keypoints"],
             batch["valid"],
             augment=True,
+            flip_prob=self.flip_prob,
         )
         if self.joint_remap is not None:
             targets = jnp.take(targets, jnp.asarray(self.joint_remap), axis=-3)
