@@ -51,7 +51,8 @@ def _as_list(x):
 class MPIIAnnotations:
     """Parsed .mat + split files. ``task`` selects the persisted subset."""
 
-    def __init__(self, root: str, task: str, mat_name: str = "mpii_human_pose_v1_u12_2/mpii_human_pose_v1_u12_1.mat"):
+    def __init__(self, root: str, task: str, mat_name: str = "mpii_human_pose_v1_u12_2/mpii_human_pose_v1_u12_1.mat",
+                 split_seed: Optional[int] = None):
         self.root = root
         self.task = task
         self.image_dir = os.path.join(root, "images")
@@ -66,7 +67,7 @@ class MPIIAnnotations:
 
         subset_path = os.path.join(root, f"MPII-{task}.txt")
         if not os.path.exists(subset_path):
-            self.refresh_subset()
+            self.refresh_subset(seed=split_seed)
         self.subset = np.atleast_2d(np.loadtxt(subset_path, dtype=np.int32))
 
     # ------------------------------------------------------------- split

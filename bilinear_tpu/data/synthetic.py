@@ -111,7 +111,7 @@ def make_mpii_mat(
                     "x1": cx - 15 * scale,
                     "y1": cy - 80 * scale,
                     "x2": cx + 15 * scale,
-                    "y2": cy - 60 * scale,
+                    "y2": cy - 40 * scale,
                     "annopoints": {"point": np.asarray(points, dtype=object)},
                 }
             )

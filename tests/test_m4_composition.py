@@ -137,7 +137,11 @@ def test_end2end_assemble_variables():
 @pytest.fixture(scope="module")
 def mpii_dir(tmp_path_factory):
     root = tmp_path_factory.mktemp("MPII")
-    return write_mpii_dataset(str(root), n_train_images=6, n_test_images=4)
+    write_mpii_dataset(str(root), n_train_images=6, n_test_images=4)
+    from bilinear_tpu.data.mpii import MPIIAnnotations
+    from bilinear_tpu.data.h36m import Task as _Task
+    MPIIAnnotations(str(root), _Task.Train, split_seed=0)
+    return str(root)
 
 
 def test_mpii_test_export_and_converter(mpii_dir, tmp_path):

@@ -118,7 +118,7 @@ def test_step_parity_vs_torch_reference_loop(splits):
         (state.params["encode"]["linear"]["kernel"], p2["encode"]["linear"]["kernel"]),
         (state.batch_stats["encode"]["bn"]["mean"], s2["encode"]["bn"]["mean"]),
     ]:
-        np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-3, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-3, atol=1e-4)
 
 
 def test_checkpoint_roundtrip_and_resume(splits, tmp_path):

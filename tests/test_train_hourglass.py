@@ -19,7 +19,10 @@ from bilinear_tpu.train.hourglass import HourglassTrainer, preprocess_batch
 @pytest.fixture(scope="module")
 def mpii_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("MPII")
-    return write_mpii_dataset(str(root), n_train_images=10, n_test_images=2)
+    write_mpii_dataset(str(root), n_train_images=10, n_test_images=2)
+    # Create the split files deterministically up front.
+    MPIIAnnotations(str(root), Task.Train, split_seed=0)
+    return str(root)
 
 
 @pytest.fixture(scope="module")
