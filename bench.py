@@ -61,19 +61,31 @@ def main() -> None:
         return
 
     from bilinear_tpu.models.bilinear import BilinearUnit
+    from bilinear_tpu.ops.pallas.lifting import lifting_forward, prepare_weights
 
     model = BilinearUnit(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (BATCH, 32), jnp.float32)
     variables = model.init(rng, x[:2], train=False)
+    prepared = prepare_weights(
+        variables["params"], variables["batch_stats"], jnp.bfloat16
+    )
+
+    def forward(x):
+        # Production inference path: the fused Pallas kernel (whole network
+        # VMEM-resident, BN folded). ~5% over the XLA program, both near MXU
+        # peak.
+        return lifting_forward(
+            variables["params"], variables["batch_stats"], x, prepared=prepared
+        )
 
     def loop(k):
         @jax.jit
-        def run(variables, x):
+        def run(x):
             def body(_, acc):
                 # acc feeds back into the input so iterations cannot be
                 # hoisted or deduplicated by the compiler.
-                out = model.apply(variables, x + acc * 1e-38, train=False)
+                out = forward(x + acc * 1e-38)
                 return jnp.sum(out) * 1e-6
 
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
@@ -81,13 +93,12 @@ def main() -> None:
         return run
 
     run1, run2 = loop(K1), loop(K2)
-    variables = jax.device_put(variables)
     x = jax.device_put(x)
-    float(run1(variables, x))  # compile
-    float(run2(variables, x))
+    float(run1(x))  # compile
+    float(run2(x))
 
-    t1 = _timed_scalar(run1, variables, x)
-    t2 = _timed_scalar(run2, variables, x)
+    t1 = _timed_scalar(run1, x)
+    t2 = _timed_scalar(run2, x)
     per_pass = (t2 - t1) / (K2 - K1)
 
     poses_per_sec = BATCH / per_pass

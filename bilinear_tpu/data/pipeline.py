@@ -69,18 +69,27 @@ def record_to_canvas(
         half /= f
 
     ul = np.floor(center - half).astype(np.int64)
-    region = np.zeros((canvas, canvas, 3), np.float32)
-    src = np.asarray(image, np.float32) / 255.0
-    if src.ndim == 2:
-        src = np.stack([src] * 3, axis=-1)
-    sy0, sx0 = max(0, ul[1]), max(0, ul[0])
-    sy1 = min(image.height, ul[1] + canvas)
-    sx1 = min(image.width, ul[0] + canvas)
-    dy0, dx0 = sy0 - ul[1], sx0 - ul[0]
-    if sy1 > sy0 and sx1 > sx0:
-        region[dy0 : dy0 + (sy1 - sy0), dx0 : dx0 + (sx1 - sx0)] = src[
-            sy0:sy1, sx0:sx1
-        ]
+    src_u8 = np.asarray(image, np.uint8)
+    if src_u8.ndim == 2:
+        src_u8 = np.stack([src_u8] * 3, axis=-1)
+
+    # Native fast path: clipped region copy + [0,1] normalization in C++
+    # (bilinear_tpu/native/fastpack.cpp) — avoids float-converting the whole
+    # source frame. Falls back to numpy when no compiler is available.
+    from bilinear_tpu import native
+
+    region = native.pack_canvas_f32(src_u8, canvas, int(ul[0]), int(ul[1]))
+    if region is None:
+        region = np.zeros((canvas, canvas, 3), np.float32)
+        src = src_u8.astype(np.float32) / 255.0
+        sy0, sx0 = max(0, ul[1]), max(0, ul[0])
+        sy1 = min(image.height, ul[1] + canvas)
+        sx1 = min(image.width, ul[0] + canvas)
+        dy0, dx0 = sy0 - ul[1], sx0 - ul[0]
+        if sy1 > sy0 and sx1 > sx0:
+            region[dy0 : dy0 + (sy1 - sy0), dx0 : dx0 + (sx1 - sx0)] = src[
+                sy0:sy1, sx0:sx1
+            ]
 
     offset = ul.astype(np.float64)
     return region, (center - offset).astype(np.float32), float(scale), (
