@@ -58,16 +58,22 @@ def main(argv=None) -> None:
         writer.scalar("BI/loss", last_loss, int(st.step))
         logger.info("Epoch %d saved (loss: %f)", epoch, last_loss)
 
+    import contextlib
+
+    from bilinear_tpu.utils.profiling import trace
+
     t0 = time.time()
-    state = trainer.fit(
-        state,
-        x,
-        y,
-        epochs=cfg.epochs_per_run,
-        rng=jax.random.PRNGKey(cfg.seed + 1),
-        start_epoch=start_epoch,
-        on_epoch_end=on_epoch_end,
-    )
+    profile_ctx = trace(log_dir) if cfg.profile else contextlib.nullcontext()
+    with profile_ctx:
+        state = trainer.fit(
+            state,
+            x,
+            y,
+            epochs=cfg.epochs_per_run,
+            rng=jax.random.PRNGKey(cfg.seed + 1),
+            start_epoch=start_epoch,
+            on_epoch_end=on_epoch_end,
+        )
     jax.block_until_ready(state.params)
     dt = time.time() - t0
     n_steps = cfg.epochs_per_run * -(-len(train) // cfg.batch_size)

@@ -39,6 +39,7 @@ class BilinearConfig:
     total_runs: int = 40  # bilinear.sh
     seed: int = 0
     dtype: str = "float32"  # "bfloat16" for MXU-native training
+    profile: bool = False  # write a jax.profiler trace under the run dir
 
 
 @dataclass
@@ -54,6 +55,7 @@ class HourglassConfig:
     variant: str = "torch7"  # 'torch7' (train_hourglass.py:45) or 'preact'
     seed: int = 0
     dtype: str = "float32"
+    profile: bool = False
 
 
 @dataclass

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -33,8 +34,20 @@ def _to_numpy_state_dict(tree) -> Dict[str, Any]:
     return jax.tree.map(np.asarray, serialization.to_state_dict(tree))
 
 
-def save_checkpoint(parameter_dir: str, epoch: int, state) -> str:
-    """Write ``{epoch}.save``. ``state`` is a core.state.TrainState."""
+_async_lock = threading.Lock()
+_async_thread: Optional[threading.Thread] = None
+
+
+def save_checkpoint(parameter_dir: str, epoch: int, state,
+                    async_save: bool = False) -> str:
+    """Write ``{epoch}.save``. ``state`` is a core.state.TrainState.
+
+    With ``async_save``, device->host fetches happen now (cheap relative to a
+    step) but serialization+IO run on a background thread so training resumes
+    immediately (SURVEY.md §5 'optional async checkpointing'). Saves are
+    serialized by a lock; call wait_for_async_saves() before exiting.
+    """
+    global _async_thread
     os.makedirs(parameter_dir, exist_ok=True)
     payload = {
         "epoch": epoch,
@@ -46,11 +59,26 @@ def save_checkpoint(parameter_dir: str, epoch: int, state) -> str:
         "optimizer": _to_numpy_state_dict(state.opt_state),
     }
     path = os.path.join(parameter_dir, f"{epoch}.save")
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
-    os.replace(tmp, path)
+
+    def write():
+        with _async_lock:
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+            os.replace(tmp, path)
+
+    if async_save:
+        t = threading.Thread(target=write, daemon=True)
+        t.start()
+        _async_thread = t
+    else:
+        write()
     return path
+
+
+def wait_for_async_saves() -> None:
+    if _async_thread is not None:
+        _async_thread.join()
 
 
 def latest_epoch(parameter_dir: Optional[str]) -> int:

@@ -23,6 +23,26 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (SURVEY.md §5): jax.distributed over DCN. On a
+    single host (or under cloud TPU auto-detection) all arguments may be
+    None. After this, jax.devices() spans the full slice and every mesh/
+    sharding in this package scales across hosts unchanged — the per-host
+    data pipelines feed their local shard via shard_batch."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     data: Optional[int] = None,
