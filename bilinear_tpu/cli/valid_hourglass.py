@@ -8,7 +8,6 @@ import json
 import os
 
 import jax
-import jax.numpy as jnp
 
 from bilinear_tpu.config import HourglassConfig, parse_config
 from bilinear_tpu.data.h36m import Task

@@ -17,7 +17,6 @@ import json
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from bilinear_tpu.config import HourglassFTConfig, parse_config

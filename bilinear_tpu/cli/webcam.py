@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from bilinear_tpu.io.checkpoint import resume_or_init
-from bilinear_tpu.models.end2end import End2End
 from bilinear_tpu.train.end2end import End2EndTrainer
 
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional
 
 from bilinear_tpu.data.h36m import Protocol
 

@@ -8,9 +8,8 @@ forward/backward/update/schedule program stays inside one XLA compilation.
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
-import jax
 import jax.numpy as jnp
 import optax
 from flax import struct

@@ -28,7 +28,7 @@ import os
 import pickle
 import sys
 import types
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List
 
 import numpy as np

@@ -11,7 +11,6 @@ Also writes synthetic H36M image trees for tests (data/synthetic.py).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
 
 import numpy as np
 

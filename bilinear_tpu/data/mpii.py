@@ -27,8 +27,6 @@ from typing import List, Optional, Tuple
 import numpy as np
 import scipy.io
 
-from bilinear_tpu.data.h36m import Task
-
 NUM_JOINTS = 16
 
 

@@ -22,7 +22,7 @@ import math
 import queue
 import threading
 from dataclasses import dataclass
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Sequence
 
 import numpy as np
 from PIL import Image

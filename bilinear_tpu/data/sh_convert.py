@@ -16,10 +16,9 @@ import os
 import pickle
 from typing import Dict
 
-import jax
 import numpy as np
 
-from bilinear_tpu.data.h36m import Annotation, Task, load_h36m, tasks
+from bilinear_tpu.data.h36m import Annotation, load_h36m, tasks
 from bilinear_tpu.data.h36m_images import H36MImageRecords
 from bilinear_tpu.data.pipeline import MPIIHostPipeline
 from bilinear_tpu.eval.mpii_test_export import make_export_step

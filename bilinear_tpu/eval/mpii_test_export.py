@@ -10,8 +10,6 @@ the converter in Python via scipy.io, so no MATLAB is needed.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

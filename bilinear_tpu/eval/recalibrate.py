@@ -11,7 +11,6 @@ momentum=None, carrying batch_stats.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from bilinear_tpu.core.norm import reset_batch_stats
 from bilinear_tpu.train.hourglass import preprocess_batch

@@ -7,8 +7,6 @@ tensorboardX is available in this image; gate gracefully if absent.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 try:

@@ -6,7 +6,6 @@ color-gradient table -> RGB NCHW. overlap: alpha-blend over the input image.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

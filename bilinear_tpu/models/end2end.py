@@ -23,8 +23,6 @@ variable tree.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -21,10 +21,9 @@ the collectives):
 from __future__ import annotations
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from bilinear_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from bilinear_tpu.parallel.mesh import MODEL_AXIS
 
 COLUMN_PARALLEL = ("encode",) + tuple(
     f"bilinear_{b}_0" for b in range(8)

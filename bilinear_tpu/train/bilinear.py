@@ -22,13 +22,10 @@ epoch.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-import optax
 
 from bilinear_tpu.core.optim import bilinear_optimizer
 from bilinear_tpu.core.state import TrainState

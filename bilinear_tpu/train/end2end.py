@@ -18,8 +18,6 @@ rotation would invalidate, and the reference never flips H36M.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
