@@ -78,6 +78,95 @@ def bilinear_from_torch(state_dict: Mapping[str, Any]):
     return params, stats
 
 
+# Reference BilinearUnit parameter-registration order (what
+# model.parameters() yields), mapped to our tree paths. 'T' marks Linear
+# weights that transpose (out,in)->(in,out).
+def _bilinear_param_order():
+    order = []
+
+    def heavy(ours):
+        order.extend(
+            [
+                ((ours, "linear", "kernel"), True),
+                ((ours, "linear", "bias"), False),
+                ((ours, "bn", "scale"), False),
+                ((ours, "bn", "bias"), False),
+            ]
+        )
+
+    heavy("encode")
+    for b in range(2):
+        for s in range(2):
+            heavy(f"bilinear_{b}_{s}")
+    order.append((("decode", "kernel"), True))
+    order.append((("decode", "bias"), False))
+    return order
+
+
+def bilinear_optimizer_from_torch(opt_state_dict: Mapping[str, Any]):
+    """torch.optim.Adam.state_dict() of the reference BilinearUnit ->
+    (count, mu_tree, nu_tree) matching core.optim.TorchAdamState. torch keeps
+    a per-param step; the reference steps all params together, so any one
+    equals our shared count."""
+    order = _bilinear_param_order()
+    torch_state = opt_state_dict["state"]
+    param_ids = []
+    for group in opt_state_dict["param_groups"]:
+        param_ids.extend(group["params"])
+    assert len(param_ids) == len(order), (len(param_ids), len(order))
+
+    mu: Dict[str, Any] = {}
+    nu: Dict[str, Any] = {}
+    count = 0
+    for pid, (path, transpose) in zip(param_ids, order):
+        entry = torch_state.get(pid, {})
+        if not entry:
+            continue
+        count = int(_np(entry["step"]))
+        m = _np(entry["exp_avg"])
+        v = _np(entry["exp_avg_sq"])
+        if transpose:
+            m, v = m.T, v.T
+        _set(mu, path, m)
+        _set(nu, path, v)
+    return count, mu, nu
+
+
+def load_reference_bilinear_checkpoint(path: str, template_state):
+    """Load a reference ``{epoch}.save`` torch checkpoint
+    ({'epoch','step','state','optimizer'}, train_bilinear.py:96-104) into a
+    TrainState, including the Adam moments — a true drop-in migration from
+    the reference framework. Returns (state, epoch)."""
+    import torch
+
+    import jax.numpy as jnp
+    from flax import serialization
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    params, stats = bilinear_from_torch(payload["state"])
+    count, mu, nu = bilinear_optimizer_from_torch(payload["optimizer"])
+
+    new_params = serialization.from_state_dict(template_state.params, params)
+    new_stats = serialization.from_state_dict(template_state.batch_stats, stats)
+
+    # opt_state = (clip EmptyState, TorchAdamState(count, mu, nu))
+    clip_state, adam = template_state.opt_state
+    adam = adam._replace(
+        count=jnp.asarray(count, jnp.int32),
+        mu=serialization.from_state_dict(adam.mu, mu) if mu else adam.mu,
+        nu=serialization.from_state_dict(adam.nu, nu) if nu else adam.nu,
+    )
+    return (
+        template_state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=(clip_state, adam),
+            step=jnp.asarray(payload["step"], jnp.int32),
+        ),
+        payload["epoch"],
+    )
+
+
 def hourglass_torch7_from_torch(state_dict: Mapping[str, Any], n_stacks: int = 8,
                                 n_depth: int = 4):
     """Reference MainModel state_dict (model/hourglass_torch7.py:80-105) ->
