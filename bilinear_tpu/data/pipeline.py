@@ -21,8 +21,9 @@ from __future__ import annotations
 import math
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
-from typing import Iterator, List, Sequence
+from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 from PIL import Image
@@ -120,6 +121,16 @@ class MPIIHostPipeline:
         # shapes for jitted eval); pad=False emits it short (training keeps
         # the reference's drop_last=False semantics without fake samples).
         self.pad = pad
+        # JPEG decode dominates host time and releases the GIL in PIL's C
+        # core, so intra-batch samples load in parallel (replaces the
+        # reference's 8 worker processes, without pickling).
+        self._pool: Optional[ThreadPoolExecutor] = None
+        self.decode_threads = 8
+
+    def _get_pool(self) -> ThreadPoolExecutor:
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.decode_threads)
+        return self._pool
 
     def __len__(self) -> int:
         n = len(self.annotations)
@@ -134,7 +145,9 @@ class MPIIHostPipeline:
         valid = np.zeros((B, 16), bool)
         heads = np.ones(B, np.float32)
         idx_arr = np.full(B, -1, np.int64)
-        for slot, index in enumerate(indices):
+
+        def load_one(slot_index):
+            slot, index = slot_index
             rec = self.annotations.record(index)
             with Image.open(self.annotations.image_path(rec)) as img:
                 img = img.convert("RGB")
@@ -146,6 +159,8 @@ class MPIIHostPipeline:
             valid[slot] = rec.valid
             heads[slot] = rec.head
             idx_arr[slot] = index
+
+        list(self._get_pool().map(load_one, enumerate(indices)))
         return CanvasBatch(
             images, centers, scales, keypoints, valid, heads, idx_arr,
             pad=B - len(indices),
