@@ -23,7 +23,7 @@ def bench_inference(batch: int = 8, dtype=jnp.bfloat16) -> dict:
     model = MainModel(dtype=dtype)
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, 256, 256, 3), jnp.float32)
     v = model.init(jax.random.PRNGKey(0), x[:1], train=False)
-    t = measure_fn(lambda: model.apply(v, x, train=False)[-1], k1=2, k2=8)
+    t = measure_fn(lambda eps: model.apply(v, x + eps, train=False)[-1], k1=2, k2=8)
     return {
         "metric": "hourglass_inference",
         "batch_size": batch,

@@ -77,7 +77,7 @@ class End2EndTrainer:
         scales = batch["scales"] * params_aug.scale_factor
 
         crops = crop_batch(images, batch["centers"], scales, jnp.zeros(B), res=256)
-        crops = jax.vmap(aug.color_jitter)(jax.random.split(k_jit, B), crops)
+        crops = aug.color_jitter_batch(k_jit, crops)
 
         hm_xy = keypoints_to_heatmap_space(
             jnp.nan_to_num(batch["keypoints"]), batch["centers"], scales,

@@ -80,8 +80,7 @@ def preprocess_batch(
         keypoints = jnp.where(flip[:, None, None], mirrored, keypoints)
         valid = jnp.where(flip[:, None], valid[:, MPII_FLIP_SWAP], valid)
         rotate = jnp.where(flip, -rotate, rotate)
-        jit_keys = jax.random.split(k_jit, B)
-        crops = jax.vmap(aug.color_jitter)(jit_keys, crops)
+        crops = aug.color_jitter_batch(k_jit, crops)
 
     hm_xy = keypoints_to_heatmap_space(
         jnp.nan_to_num(keypoints), centers, scales, rotate, size=heatmap_size

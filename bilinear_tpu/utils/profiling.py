@@ -64,22 +64,25 @@ class Timer:
 
 
 def measure_fn(
-    fn: Callable[[], jnp.ndarray],
+    fn: Callable[[jnp.ndarray], jnp.ndarray],
     k1: int = 4,
     k2: int = 24,
     reps: int = 3,
 ) -> float:
-    """Seconds per call of ``fn`` (a nullary producing an array), measured by
-    differencing jitted K-iteration loops so per-fetch RTT cancels.
-    ``fn`` must be jit-traceable; iterations are chained through a scalar to
-    prevent hoisting."""
+    """Seconds per call of ``fn(eps)``, measured by differencing jitted
+    K-iteration loops so per-fetch RTT cancels.
+
+    CRITICAL CONTRACT: ``fn`` receives a tiny traced scalar (|eps| ~ 1e-38 *
+    output magnitude) and MUST mix it into its inputs (e.g. ``x + eps``).
+    Without that, every iteration is loop-invariant and XLA hoists the body
+    out of the loop — the measurement silently times ONE execution."""
 
     def loop(k):
         @jax.jit
         def run():
             def body(_, acc):
-                out = fn()
-                return acc + jnp.sum(out) * 1e-30
+                out = fn(acc * 1e-38)
+                return jnp.sum(out).astype(jnp.float32) * 1e-6
 
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 

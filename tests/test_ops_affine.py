@@ -78,6 +78,31 @@ def test_crop_zero_padding_outside(ref_crop):
     assert ref[:40, :40].max() < 1e-6
 
 
+def test_fast_crop_matches_gather_oracle():
+    """MXU-native crop (separable matmul + three-shear rotation) vs the
+    reference-exact gather path: identical at rotation 0, close otherwise."""
+    from bilinear_tpu.ops.affine import crop_batch_gather
+
+    rng = np.random.RandomState(11)
+    img = _smooth_image(rng)  # smooth so interpolant differences stay small
+    imgs = jnp.asarray(img, jnp.float32)[None].repeat(2, 0) / 255.0
+    centers = jnp.asarray([[320.0, 250.0], [300.0, 200.0]], jnp.float32)
+    scales = jnp.asarray([1.1, 0.9])
+
+    a0 = np.asarray(crop_batch(imgs, centers, scales, jnp.zeros(2), res=256))
+    b0 = np.asarray(crop_batch_gather(imgs, centers, scales, jnp.zeros(2), res=256))
+    np.testing.assert_allclose(a0, b0, atol=1e-5)
+
+    for rot in (17.0, -25.0, 55.0):
+        a = np.asarray(crop_batch(imgs, centers, scales, jnp.full((2,), rot), res=256))
+        b = np.asarray(
+            crop_batch_gather(imgs, centers, scales, jnp.full((2,), rot), res=256)
+        )
+        d = np.abs(a - b)[:, 8:-8, 8:-8]
+        assert d.mean() < 0.002, (rot, d.mean())
+        assert np.quantile(d, 0.99) < 0.02, (rot, np.quantile(d, 0.99))
+
+
 def test_crop_batch_jit():
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.rand(3, 128, 160, 3).astype(np.float32))
