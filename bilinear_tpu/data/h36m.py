@@ -100,6 +100,11 @@ def _install_vectormath_shim() -> None:
         def length(self):
             return float(np.linalg.norm(np.asarray(self, dtype=np.float64)))
 
+    # Make the class pickle-compatible in both directions (real bins
+    # reference 'vectormath.Vector2' by module path).
+    Vector2.__module__ = "vectormath"
+    Vector2.__qualname__ = "Vector2"
+
     mod = types.ModuleType("vectormath")
     mod.Vector2 = Vector2
     vec_mod = types.ModuleType("vectormath.vector")
