@@ -176,12 +176,10 @@ def test_pckh_perfect_predictor_scores_100(mpii_root):
         flipped = jnp.flip(tgt[..., MPII_FLIP_SWAP], axis=-2)
 
         class Both:
-            def __init__(self):
-                self.calls = 0
-
             def apply(self, variables, crops, train=False, **kw):
-                self.calls += 1
-                return variables["t1"] if self.calls % 2 == 1 else variables["t2"]
+                # The step runs one forward over [straight; mirrored]
+                # concatenated on the batch axis.
+                return jnp.concatenate([variables["t1"], variables["t2"]], axis=1)
 
         from bilinear_tpu.eval import pckh as pckh_mod
 
