@@ -33,7 +33,15 @@ from bilinear_tpu.train.hourglass import HourglassTrainer
 
 
 def main(argv=None) -> None:
+    import argparse
+
     cfg = parse_config(HourglassConfig(), argv)
+    extra = argparse.ArgumentParser()
+    # eval_hourglass.py:131 exposes eval_on_training_and_valid_subset.
+    extra.add_argument("--train-subset", action="store_true",
+                       help="export predictions for train/valid images "
+                            "instead of the official test set")
+    opts, _ = extra.parse_known_args(argv)
     logger, log_dir, _ = get_logger(cfg.comment, cfg.save_root)
     parameter_dir = os.path.join(log_dir, "parameter")
     prediction_dir = os.path.join(log_dir, "prediction")
@@ -59,7 +67,7 @@ def main(argv=None) -> None:
         state = state.replace(batch_stats=stats)
         mark_finalized(parameter_dir, state)
 
-    annotations = MPIITestAnnotations(cfg.data_dir)
+    annotations = MPIITestAnnotations(cfg.data_dir, train_subset=opts.train_subset)
     logger.info("Exporting %d test rects", len(annotations))
     n = export_predictions(
         trainer.model,
