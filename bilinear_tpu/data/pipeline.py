@@ -196,8 +196,9 @@ class MPIIHostPipeline:
             try:
                 for b in batches:
                     q.put(self._load(b))
-            finally:
                 q.put(sentinel)
+            except BaseException as e:  # surface loader errors to the consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -205,4 +206,6 @@ class MPIIHostPipeline:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -47,6 +47,7 @@ class BilinearTrainer:
         self.model = BilinearUnit(dtype=dtype, dropout=dropout)
         self.tx = bilinear_optimizer(learning_rate)
         self._epoch_fn = None
+        self._epoch_shape = None
         self._tail_fns = {}
 
     # ---------------------------------------------------------------- init
@@ -119,8 +120,9 @@ class BilinearTrainer:
         DataLoader drop_last=False). Returns (state, per-step losses)."""
         n, dim_x = x.shape
         dim_y = y.shape[1]
-        if self._epoch_fn is None:
+        if self._epoch_fn is None or self._epoch_shape != (n, dim_x, dim_y):
             self._epoch_fn = self._build_epoch(n, dim_x, dim_y)
+            self._epoch_shape = (n, dim_x, dim_y)
         state, losses, tail_idx = self._epoch_fn(state, x, y, rng)
 
         tail = n % self.batch_size
