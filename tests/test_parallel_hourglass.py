@@ -1,0 +1,62 @@
+"""Hourglass data parallelism on the 8-device mesh: the sharded train step
+(including cross-device BatchNorm batch statistics, which GSPMD globalizes
+automatically) must match the single-device program exactly."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bilinear_tpu.models.hourglass_torch7 import MainModel
+from bilinear_tpu.parallel import mesh as mesh_lib
+from bilinear_tpu.train.hourglass import HourglassTrainer
+
+
+def _batch(B=8, canvas=128):
+    rng = np.random.RandomState(0)
+    return {
+        "images": jnp.asarray(rng.rand(B, canvas, canvas, 3).astype(np.float32)),
+        "centers": jnp.asarray(np.full((B, 2), 64.0, np.float32)),
+        "scales": jnp.asarray(np.full((B,), 0.5, np.float32)),
+        "keypoints": jnp.asarray(
+            rng.uniform(30, 100, (B, 16, 2)).astype(np.float32)
+        ),
+        "valid": jnp.ones((B, 16), bool),
+    }
+
+
+def test_hourglass_dp_matches_single_device():
+    def make(mesh):
+        t = HourglassTrainer(batch_size=8, mesh=mesh, canvas=128)
+        t.model = MainModel(n_stacks=1, features=8, depth=1)
+        return t
+
+    single = make(None)
+    state0 = single.init_state(jax.random.PRNGKey(0))
+    batch = _batch()
+    s_ref, l_ref = jax.jit(single._train_step)(
+        state0, batch, jax.random.PRNGKey(1)
+    )
+
+    mesh = mesh_lib.make_mesh(jax.devices())
+    dp = make(mesh)
+    dp.model = single.model
+    state1 = dp.init_state(jax.random.PRNGKey(0))
+    sharded = dict(batch)
+    sharded["images"] = jax.device_put(
+        batch["images"], mesh_lib.batch_sharding(mesh, 4)
+    )
+    s_dp, l_dp = jax.jit(dp._train_step)(state1, sharded, jax.random.PRNGKey(1))
+
+    assert float(l_ref) == pytest.approx(float(l_dp), rel=1e-4)
+    # BN batch statistics are GLOBAL across the sharded batch.
+    np.testing.assert_allclose(
+        np.asarray(s_ref.batch_stats["stem_bn"]["mean"]),
+        np.asarray(s_dp.batch_stats["stem_bn"]["mean"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_ref.params["htmap_0"]["kernel"]),
+        np.asarray(s_dp.params["htmap_0"]["kernel"]),
+        rtol=1e-3, atol=1e-5,
+    )
