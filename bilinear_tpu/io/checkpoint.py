@@ -81,6 +81,40 @@ def wait_for_async_saves() -> None:
         _async_thread.join()
 
 
+# ---------------------------------------------------------------------------
+# Optional Orbax backend (SURVEY.md §5): same payload and directory contract,
+# stored as an Orbax PyTree checkpoint directory ``{epoch}.orbax`` instead of
+# a pickle. Useful for very large states / multi-host sharded saving.
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(parameter_dir: str, epoch: int, state) -> str:
+    import orbax.checkpoint as ocp
+
+    os.makedirs(parameter_dir, exist_ok=True)
+    payload = {
+        "epoch": epoch,
+        "step": int(state.step),
+        "state": {
+            "params": _to_numpy_state_dict(state.params),
+            "batch_stats": _to_numpy_state_dict(state.batch_stats),
+        },
+        "optimizer": _to_numpy_state_dict(state.opt_state),
+    }
+    path = os.path.abspath(os.path.join(parameter_dir, f"{epoch}.orbax"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    return path
+
+
+def load_checkpoint_orbax(parameter_dir: str, epoch: int):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(parameter_dir, f"{epoch}.orbax"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(path)
+
+
 def latest_epoch(parameter_dir: Optional[str]) -> int:
     """Max integer epoch present, 0 if none (the reference's resume scan)."""
     best = 0

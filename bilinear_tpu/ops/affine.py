@@ -161,7 +161,8 @@ def _rotate_three_shear(img, theta_rad, center: float):
     a = -jnp.tan(theta_rad / 2.0)  # x-shear coefficient
     b = jnp.sin(theta_rad)  # y-shear coefficient
     idx = jnp.arange(E, dtype=jnp.float32) - center
-    pad = int(E * 0.9) // 2 * 2  # covers |a|<=0.58, |b|<=0.87 at E/2
+    # Max |shift| = max(|a|, |b|) * E/2 <= 0.87 * E/2 (|rotation| <= 60 deg).
+    pad = int(0.87 * E / 2) + 8
 
     def shear_x(im, coef):
         shift = coef[:, None] * idx[None, :]  # (B, E) per row v
