@@ -100,6 +100,8 @@ class HourglassTrainer:
         canvas: int = 512,
         joint_remap=None,  # e.g. FROM_H36M_TO_MPII for the FT pipeline
         flip_prob: float = 0.4,  # 0.0 for H36M-FT (the reference never flips H36M)
+        remat: bool = False,  # rematerialize per-stack activations (memory
+        # for FLOPs — enables much larger batches, SURVEY.md HBM guidance)
     ):
         self.variant = variant
         self.batch_size = batch_size
@@ -109,6 +111,7 @@ class HourglassTrainer:
         self.tx = hourglass_optimizer(learning_rate)
         self.joint_remap = joint_remap
         self.flip_prob = flip_prob
+        self.remat = remat
         self._step = None
 
     def init_state(self, rng: jax.Array) -> TrainState:
@@ -139,13 +142,19 @@ class HourglassTrainer:
         if self.joint_remap is not None:
             targets = jnp.take(targets, jnp.asarray(self.joint_remap), axis=-3)
 
-        def loss_fn(params):
-            out, mut = self.model.apply(
+        def forward(params, crops):
+            return self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 crops,
                 train=True,
                 mutable=["batch_stats"],
             )
+
+        if self.remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            out, mut = forward(params, crops)
             # (S, B, H, W, J) vs (B, J, H, W) targets
             tgt = jnp.transpose(targets, (0, 2, 3, 1))  # (B, H, W, J)
             loss = jnp.sum(
