@@ -44,7 +44,7 @@ def test_hourglass_ft_trains_on_h36m(h36m_dir, small_hourglass):
     pipe = MPIIHostPipeline(records, 4, canvas=256, shuffle=True, drop_last=True)
     state = small_hourglass.init_state(jax.random.PRNGKey(0))
     losses = []
-    for epoch in range(3):
+    for epoch in range(2):
         state, loss = small_hourglass.fit_epoch(
             state, pipe, epoch, jax.random.PRNGKey(1)
         )
