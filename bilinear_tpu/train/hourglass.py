@@ -113,6 +113,7 @@ class HourglassTrainer:
         self.flip_prob = flip_prob
         self.remat = remat
         self._step = None
+        self._multi = None
 
     def init_state(self, rng: jax.Array) -> TrainState:
         variables = self.model.init(
@@ -174,22 +175,70 @@ class HourglassTrainer:
             self._step = jax.jit(self._train_step)
         return self._step
 
+    def _multi_step(self, state: TrainState, batches: dict, rng: jax.Array):
+        """K steps in one program: lax.scan over stacked (K, B, ...) batches.
+        Amortizes per-dispatch overhead (material on tunneled TPU setups
+        where a dispatch costs ~an RTT) without changing any numerics —
+        per-step dropout/augment keys still derive from fold_in(rng, step)."""
+
+        def body(s, batch):
+            s, loss = self._train_step(s, batch, rng)
+            return s, loss
+
+        return jax.lax.scan(body, state, batches)
+
+    @property
+    def multi_step(self):
+        if self._multi is None:
+            self._multi = jax.jit(self._multi_step)
+        return self._multi
+
     def fit_epoch(self, state: TrainState, pipeline, epoch: int, rng: jax.Array,
-                  log_every: int = 0, logger=None):
+                  log_every: int = 0, logger=None, group: int = 1):
+        """Run one epoch. ``group`` > 1 executes that many same-shaped batches
+        per device dispatch (identical numerics, fewer host round-trips)."""
         last_loss = None
-        for i, batch in enumerate(pipeline.epoch(epoch)):
-            state, loss = self.train_step(
-                state,
-                {
-                    "images": batch.images,
-                    "centers": batch.centers,
-                    "scales": batch.scales,
-                    "keypoints": batch.keypoints,
-                    "valid": batch.valid,
-                },
-                rng,
-            )
-            last_loss = loss
-            if log_every and logger and (i + 1) % log_every == 0:
-                logger.info("epoch %d step %d loss %f", epoch, i + 1, float(loss))
+        pending = []
+        step_count = 0
+
+        def as_dict(batch):
+            return {
+                "images": batch.images,
+                "centers": batch.centers,
+                "scales": batch.scales,
+                "keypoints": batch.keypoints,
+                "valid": batch.valid,
+            }
+
+        def flush_pending(state, pending):
+            nonlocal last_loss, step_count
+            if len(pending) > 1:
+                stacked = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *pending
+                )
+                state, losses = self.multi_step(state, stacked, rng)
+                last_loss = losses[-1]
+                step_count += len(pending)
+            elif pending:
+                state, last_loss = self.train_step(state, pending[0], rng)
+                step_count += 1
+            if log_every and logger and step_count and step_count % log_every < len(pending):
+                logger.info(
+                    "epoch %d step %d loss %f", epoch, step_count, float(last_loss)
+                )
+            return state
+
+        lead_shape = None
+        for batch in pipeline.epoch(epoch):
+            d = as_dict(batch)
+            shape = d["images"].shape
+            if lead_shape is not None and shape != lead_shape:
+                state = flush_pending(state, pending)
+                pending = []
+            lead_shape = shape
+            pending.append(d)
+            if len(pending) >= group:
+                state = flush_pending(state, pending)
+                pending = []
+        state = flush_pending(state, pending)
         return state, last_loss
