@@ -55,7 +55,7 @@ def main(argv=None) -> None:
     for epoch in range(start_epoch + 1, start_epoch + cfg.epochs_per_run + 1):
         state, loss = trainer.fit_epoch(
             state, pipeline, epoch, jax.random.fold_in(rng, epoch),
-            log_every=50, logger=logger,
+            log_every=50, logger=logger, group=cfg.steps_per_dispatch,
         )
         save_checkpoint(parameter_dir, epoch, state)
         loss = float(loss)

@@ -55,6 +55,7 @@ class HourglassConfig:
     seed: int = 0
     dtype: str = "float32"
     profile: bool = False
+    steps_per_dispatch: int = 4  # batches per device call (identical numerics)
 
 
 @dataclass
