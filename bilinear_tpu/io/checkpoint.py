@@ -116,12 +116,14 @@ def load_checkpoint_orbax(parameter_dir: str, epoch: int):
 
 
 def latest_epoch(parameter_dir: Optional[str]) -> int:
-    """Max integer epoch present, 0 if none (the reference's resume scan)."""
+    """Max integer epoch present, 0 if none (the reference's resume scan,
+    model/bilinear.py:63-83). Both backends participate: ``{epoch}.save``
+    pickles and ``{epoch}.orbax`` checkpoint directories."""
     best = 0
     if parameter_dir and os.path.isdir(parameter_dir):
         for fname in os.listdir(parameter_dir):
             stem, _, ext = fname.partition(".")
-            if ext != "save":
+            if ext not in ("save", "orbax"):
                 continue
             try:
                 e = int(stem)
@@ -132,8 +134,18 @@ def latest_epoch(parameter_dir: Optional[str]) -> int:
 
 
 def load_checkpoint(parameter_dir: str, epoch: int) -> Dict[str, Any]:
-    with open(os.path.join(parameter_dir, f"{epoch}.save"), "rb") as f:
-        return pickle.load(f)
+    """Load ``{epoch}.save`` (preferred) or ``{epoch}.orbax`` — whichever
+    backend wrote that epoch — so auto-resume holds for both."""
+    path = os.path.join(parameter_dir, f"{epoch}.save")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    if os.path.isdir(os.path.join(parameter_dir, f"{epoch}.orbax")):
+        return load_checkpoint_orbax(parameter_dir, epoch)
+    raise FileNotFoundError(
+        f"no checkpoint for epoch {epoch} in {parameter_dir} "
+        "(neither .save nor .orbax)"
+    )
 
 
 def restore_state(state_template, payload: Dict[str, Any]):

@@ -1,0 +1,121 @@
+"""Resume-contract tests beyond the bilinear basics:
+
+- the Orbax backend participates in the reference's newest-epoch auto-resume
+  scan (model/bilinear.py:63-83) — round 1 left `latest_epoch` scanning only
+  `.save` pickles, so Orbax runs could never resume;
+- hourglass train/checkpoint/resume at N/2 equals training N steps straight,
+  including RMSprop state and cumulative-BN statistics (the bilinear side had
+  this; the hourglass side didn't).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bilinear_tpu.io.checkpoint import (
+    latest_epoch,
+    load_checkpoint,
+    resume_or_init,
+    restore_state,
+    save_checkpoint,
+    save_checkpoint_orbax,
+)
+from bilinear_tpu.models.hourglass_torch7 import MainModel
+from bilinear_tpu.train.bilinear import BilinearTrainer
+from bilinear_tpu.train.hourglass import HourglassTrainer
+
+
+def _assert_trees_equal(a, b, rtol=1e-6, atol=1e-7):
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=rtol, atol=atol
+        ),
+        a,
+        b,
+    )
+
+
+def test_orbax_checkpoint_auto_resumes(tmp_path):
+    pdir = str(tmp_path / "parameter")
+    trainer = BilinearTrainer(batch_size=16)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(16, 32).astype(np.float32))
+    y = jnp.asarray(rng.randn(16, 48).astype(np.float32))
+    step = jax.jit(trainer._train_step)
+
+    state, _ = step(state, x, y, jax.random.PRNGKey(1))
+    save_checkpoint(pdir, 1, state)
+    state, _ = step(state, x, y, jax.random.PRNGKey(2))
+    save_checkpoint_orbax(pdir, 2, state)
+
+    # The Orbax epoch must win the resume scan and load transparently.
+    assert latest_epoch(pdir) == 2
+    payload = load_checkpoint(pdir, 2)
+    assert int(payload["epoch"]) == 2
+    template = trainer.init_state(jax.random.PRNGKey(99))
+    resumed, epoch = resume_or_init(template, pdir)
+    assert epoch == 2
+    assert int(resumed.step) == int(state.step)
+    _assert_trees_equal(resumed.params, state.params)
+    _assert_trees_equal(resumed.opt_state, state.opt_state)
+    _assert_trees_equal(resumed.batch_stats, state.batch_stats)
+
+
+def test_orbax_missing_epoch_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_checkpoint(str(tmp_path), 3)
+
+
+def _hg_batch(seed, B=4, canvas=128):
+    rng = np.random.RandomState(seed)
+    return {
+        "images": jnp.asarray(rng.rand(B, canvas, canvas, 3).astype(np.float32)),
+        "centers": jnp.asarray(np.full((B, 2), 64.0, np.float32)),
+        "scales": jnp.asarray(np.full((B,), 0.5, np.float32)),
+        "keypoints": jnp.asarray(
+            rng.uniform(30, 100, (B, 16, 2)).astype(np.float32)
+        ),
+        "valid": jnp.ones((B, 16), bool),
+    }
+
+
+def test_hourglass_resume_equivalence(tmp_path):
+    """Train 4 steps straight vs. train 2 / checkpoint / restore / train 2:
+    identical params, RMSprop state, BN stats, and step counter. Per-step
+    augment/dropout keys derive from fold_in(rng, state.step), so the resumed
+    run replays the same randomness."""
+    pdir = str(tmp_path / "parameter")
+
+    def make():
+        t = HourglassTrainer(batch_size=4, canvas=128)
+        t.model = MainModel(n_stacks=1, features=8, depth=1)
+        return t
+
+    batches = [_hg_batch(s) for s in range(4)]
+    rng = jax.random.PRNGKey(7)
+
+    straight = make()
+    s = straight.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(straight._train_step)
+    for b in batches:
+        s, _ = step(s, b, rng)
+
+    resumed_tr = make()
+    r = resumed_tr.init_state(jax.random.PRNGKey(0))
+    rstep = jax.jit(resumed_tr._train_step)
+    for b in batches[:2]:
+        r, _ = rstep(r, b, rng)
+    save_checkpoint(pdir, 1, r)
+
+    template = make().init_state(jax.random.PRNGKey(42))
+    r2, epoch = resume_or_init(template, pdir)
+    assert epoch == 1
+    for b in batches[2:]:
+        r2, _ = rstep(r2, b, rng)
+
+    assert int(r2.step) == int(s.step)
+    _assert_trees_equal(r2.params, s.params)
+    _assert_trees_equal(r2.opt_state, s.opt_state)
+    _assert_trees_equal(r2.batch_stats, s.batch_stats)
