@@ -46,7 +46,9 @@ def main(argv=None) -> None:
     parameter_dir = os.path.join(log_dir, "parameter")
     prediction_dir = os.path.join(log_dir, "prediction")
 
-    trainer = HourglassTrainer(variant=cfg.variant, batch_size=cfg.batch_size)
+    trainer = HourglassTrainer(variant=cfg.variant, batch_size=cfg.batch_size,
+                               n_stacks=cfg.n_stacks, features=cfg.features,
+                               depth=cfg.depth)
     template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     state, epoch = resume_or_init(template, parameter_dir)
 

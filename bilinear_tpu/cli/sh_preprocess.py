@@ -30,7 +30,9 @@ def main(argv=None) -> None:
     logger, log_dir, _ = get_logger(cfg.comment, cfg.save_root)
     parameter_dir = os.path.join(log_dir, "parameter")
 
-    trainer = HourglassTrainer(variant=cfg.variant, batch_size=cfg.batch_size)
+    trainer = HourglassTrainer(variant=cfg.variant, batch_size=cfg.batch_size,
+                               n_stacks=cfg.n_stacks, features=cfg.features,
+                               depth=cfg.depth)
     template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     state, epoch = resume_or_init(template, parameter_dir)
     logger.info("Converting GT->%s with hourglass epoch %d", args.protocol_out, epoch)

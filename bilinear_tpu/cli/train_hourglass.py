@@ -44,6 +44,9 @@ def main(argv=None) -> None:
         batch_size=cfg.batch_size,
         learning_rate=cfg.learning_rate,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
+        n_stacks=cfg.n_stacks,
+        features=cfg.features,
+        depth=cfg.depth,
     )
     template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     state, start_epoch = resume_or_init(template, parameter_dir)

@@ -47,6 +47,9 @@ def main(argv=None) -> None:
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
         joint_remap=FROM_H36M_TO_MPII,
         flip_prob=0.0,  # the reference never flips H36M
+        n_stacks=cfg.n_stacks,
+        features=cfg.features,
+        depth=cfg.depth,
     )
     template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     state, start_epoch = resume_or_init(template, parameter_dir)

@@ -56,6 +56,11 @@ class HourglassConfig:
     dtype: str = "float32"
     profile: bool = False
     steps_per_dispatch: int = 4  # batches per device call (identical numerics)
+    # Model size (reference: model/hourglass_torch7.py:6-11). Override for
+    # tiny smoke/integration runs of the CLIs.
+    n_stacks: int = 8
+    features: int = 256
+    depth: int = 4
 
 
 @dataclass

@@ -59,14 +59,16 @@ def torch_adam(
         count = state.count + 1
         mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
         nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
-        bc1 = 1 - b1 ** count.astype(jnp.float32)
-        bc2 = 1 - b2 ** count.astype(jnp.float32)
         lr = _lr_value(learning_rate, count)
 
         def upd(m, v):
+            # Bias correction in the leaf's own dtype (f32 normally; f64 when
+            # running float64 parity checks) so it never injects f32 rounding.
+            bc1 = 1 - b1 ** count.astype(m.dtype)
+            bc2 = 1 - b2 ** count.astype(m.dtype)
             m_hat = m / bc1
             v_hat = v / bc2
-            return -lr * m_hat / (jnp.sqrt(v_hat) + eps)
+            return -lr.astype(m.dtype) * m_hat / (jnp.sqrt(v_hat) + eps)
 
         return jax.tree.map(upd, mu, nu), TorchAdamState(count, mu, nu)
 
@@ -136,7 +138,9 @@ def reference_bilinear_schedule(
     """
 
     def schedule(count: jnp.ndarray) -> jnp.ndarray:
-        step = jnp.maximum(count, 1).astype(jnp.float32)
+        # jnp.result_type(float) is f32 normally and f64 under jax_enable_x64
+        # (float64 parity harness) — identical HLO in the common case.
+        step = jnp.maximum(count, 1).astype(jnp.result_type(float))
         last_fire = jnp.where(
             step >= period, jnp.floor(step / period) * period, 1.0
         )

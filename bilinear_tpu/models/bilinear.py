@@ -45,8 +45,11 @@ class HeavyLinear(nn.Module):
             dtype=self.dtype,
             name="linear",
         )(x)
-        x = TorchBatchNorm(momentum=self.bn_momentum, name="bn")(
-            x.astype(jnp.float32), train=train, momentum=bn_momentum
+        # BN statistics never run below f32 (bf16 compute keeps f32 stats);
+        # promote rather than pin so float64 parity runs stay float64.
+        bn_dtype = jnp.promote_types(jnp.float32, self.dtype)
+        x = TorchBatchNorm(momentum=self.bn_momentum, dtype=bn_dtype, name="bn")(
+            x.astype(bn_dtype), train=train, momentum=bn_momentum
         ).astype(self.dtype)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -88,4 +91,4 @@ class BilinearUnit(nn.Module):
             dtype=self.dtype,
             name="decode",
         )(x)
-        return x.astype(jnp.float32)
+        return x.astype(jnp.promote_types(jnp.float32, self.dtype))

@@ -37,13 +37,30 @@ from bilinear_tpu.ops.joints import MPII_FLIP_SWAP
 from bilinear_tpu.parallel import mesh as mesh_lib
 
 
-def make_model(variant: str = "torch7", dtype=jnp.float32):
+def make_model(variant: str = "torch7", dtype=jnp.float32,
+               n_stacks=None, features=None, depth=None):
     """'torch7' = the network train_hourglass.py trains; 'preact' = the
-    re-implementation train_hourglass_FT.py fine-tunes."""
+    re-implementation train_hourglass_FT.py fine-tunes. Size overrides
+    (None = reference defaults: 8 stacks, 256 features, depth 4) enable tiny
+    smoke/integration runs of every CLI."""
     if variant == "torch7":
-        return MainModel(dtype=dtype)
+        kw = {}
+        if n_stacks is not None:
+            kw["n_stacks"] = n_stacks
+        if features is not None:
+            kw["features"] = features
+        if depth is not None:
+            kw["depth"] = depth
+        return MainModel(dtype=dtype, **kw)
     if variant == "preact":
-        return StackedHourglass(dtype=dtype)
+        kw = {}
+        if n_stacks is not None:
+            kw["stacks"] = n_stacks
+        if features is not None:
+            kw["out_channels"] = features
+        if depth is not None:
+            kw["compression_time"] = depth
+        return StackedHourglass(dtype=dtype, **kw)
     raise ValueError(f"unknown hourglass variant {variant!r}")
 
 
@@ -102,12 +119,15 @@ class HourglassTrainer:
         flip_prob: float = 0.4,  # 0.0 for H36M-FT (the reference never flips H36M)
         remat: bool = False,  # rematerialize per-stack activations (memory
         # for FLOPs — enables much larger batches, SURVEY.md HBM guidance)
+        n_stacks=None,  # model size overrides, None = reference defaults
+        features=None,
+        depth=None,
     ):
         self.variant = variant
         self.batch_size = batch_size
         self.mesh = mesh
         self.canvas = canvas
-        self.model = make_model(variant, dtype)
+        self.model = make_model(variant, dtype, n_stacks, features, depth)
         self.tx = hourglass_optimizer(learning_rate)
         self.joint_remap = joint_remap
         self.flip_prob = flip_prob

@@ -1,0 +1,43 @@
+"""Full-budget trajectory parity vs the reference (BASELINE.md accuracy
+target). Runs benchmarks/parity_budget.py in a subprocess (it needs
+jax_enable_x64 for the float64 leg, which must not leak into this process's
+jax config) and checks both JSON verdicts."""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_trajectory_parity_full_budget():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "parity_budget.py")],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3000,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-4000:])
+    results = [
+        json.loads(line)
+        for line in proc.stdout.splitlines()
+        if line.startswith("{")
+    ]
+    by_prec = {r["precision"]: r for r in results}
+    assert set(by_prec) == {"float64", "float32"}
+
+    f64 = by_prec["float64"]
+    # Semantic proof: epoch-resynced f64 lockstep tracks at the noise floor
+    # through >=2 epochs, a resume boundary, and both LR-fire points.
+    assert f64["steps"] >= 60
+    assert f64["max_step_loss_rel_diff"] < 1e-6
+    assert f64["mpjpe_gap_mm"] < 1e-2
+    assert f64["resume_boundary"] and len(f64["lr_fires"]) == 2
+
+    f32 = by_prec["float32"]
+    # Deployment precision, no resync: the BASELINE.md 0.5 mm target.
+    assert f32["mpjpe_gap_mm"] < 0.5
