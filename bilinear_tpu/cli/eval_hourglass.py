@@ -61,7 +61,8 @@ def main(argv=None) -> None:
     else:
         logger.info("Finalizing BN statistics over the train split (one-time)")
         train_pipe = MPIIHostPipeline(
-            MPIIAnnotations(cfg.data_dir, Task.Train), cfg.batch_size, pad=True
+            MPIIAnnotations(cfg.data_dir, Task.Train), cfg.batch_size, pad=True,
+            transport=cfg.transport,
         )
         stats = recalibrate(
             trainer.model, state.params, state.batch_stats, train_pipe

@@ -36,7 +36,8 @@ def main(argv=None) -> None:
 
     annotations = MPIIAnnotations(cfg.data_dir, Task.Train)
     pipeline = MPIIHostPipeline(
-        annotations, cfg.batch_size, shuffle=True, seed=cfg.seed
+        annotations, cfg.batch_size, shuffle=True, seed=cfg.seed,
+        transport=cfg.transport,
     )
 
     trainer = HourglassTrainer(

@@ -37,7 +37,8 @@ def main(argv=None) -> None:
     splits = load_h36m(cfg.data_dir, "GT")
     records = H36MImageRecords(splits[Task.Train], cfg.data_dir)
     pipeline = MPIIHostPipeline(
-        records, cfg.batch_size, shuffle=True, seed=cfg.seed
+        records, cfg.batch_size, shuffle=True, seed=cfg.seed,
+        transport=cfg.transport,
     )
 
     trainer = HourglassTrainer(

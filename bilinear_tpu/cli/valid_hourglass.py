@@ -35,12 +35,14 @@ def main(argv=None) -> None:
     # BN recalibration over the un-augmented TRAIN split
     # (valid_hourglass.py:23-48).
     train_pipe = MPIIHostPipeline(
-        MPIIAnnotations(cfg.data_dir, Task.Train), cfg.batch_size, pad=True
+        MPIIAnnotations(cfg.data_dir, Task.Train), cfg.batch_size, pad=True,
+        transport=cfg.transport,
     )
     stats = recalibrate(trainer.model, state.params, state.batch_stats, train_pipe)
 
     valid_pipe = MPIIHostPipeline(
-        MPIIAnnotations(cfg.data_dir, Task.Valid), cfg.batch_size, pad=True
+        MPIIAnnotations(cfg.data_dir, Task.Valid), cfg.batch_size, pad=True,
+        transport=cfg.transport,
     )
     variables = {"params": state.params, "batch_stats": stats}
     per_joint, avg = evaluate_pckh(trainer.model, variables, valid_pipe)

@@ -63,12 +63,14 @@ def main(argv=None) -> None:
 
     splits = load_h36m(cfg.data_dir, "GT")
     train_pipe = MPIIHostPipeline(
-        _FTRecords(splits[Task.Train], cfg.data_dir), cfg.batch_size, pad=True
+        _FTRecords(splits[Task.Train], cfg.data_dir), cfg.batch_size, pad=True,
+        transport=cfg.transport,
     )
     stats = recalibrate(trainer.model, state.params, state.batch_stats, train_pipe)
 
     valid_pipe = MPIIHostPipeline(
-        _FTRecords(splits[Task.Valid], cfg.data_dir), cfg.batch_size, pad=True
+        _FTRecords(splits[Task.Valid], cfg.data_dir), cfg.batch_size, pad=True,
+        transport=cfg.transport,
     )
     per_joint, avg = evaluate_pckh(
         trainer.model, {"params": state.params, "batch_stats": stats}, valid_pipe

@@ -56,6 +56,9 @@ class HourglassConfig:
     dtype: str = "float32"
     profile: bool = False
     steps_per_dispatch: int = 4  # batches per device call (identical numerics)
+    transport: str = "u8"  # host->device image wire format: 'u8' ships uint8
+    # canvases (4x less PCIe/tunnel traffic; device rescales in crop_batch),
+    # 'f32' ships ready floats. Values are identical either way.
     # Model size (reference: model/hourglass_torch7.py:6-11). Override for
     # tiny smoke/integration runs of the CLIs.
     n_stacks: int = 8

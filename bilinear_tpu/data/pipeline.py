@@ -39,7 +39,8 @@ REGION_MARGIN = 2.05
 class CanvasBatch:
     """Device-ready host arrays, all canvas-space."""
 
-    images: np.ndarray  # (B, C, C, 3) float32 in [0, 1]
+    images: np.ndarray  # (B, C, C, 3); float32 in [0,1], or uint8 when the
+    # pipeline uses transport='u8' (crop_batch rescales on device)
     centers: np.ndarray  # (B, 2)
     scales: np.ndarray  # (B,)
     keypoints: np.ndarray  # (B, 16, 2), NaN where unannotated
@@ -50,10 +51,13 @@ class CanvasBatch:
 
 
 def record_to_canvas(
-    image: Image.Image, record: MPIIRecord, canvas: int
+    image: Image.Image, record: MPIIRecord, canvas: int, as_u8: bool = False
 ) -> tuple[np.ndarray, np.ndarray, float, np.ndarray]:
     """Pre-crop the needed region onto a (canvas, canvas) array; return
-    (canvas_img float32, new_center, new_scale, new_keypoints)."""
+    (canvas_img, new_center, new_scale, new_keypoints). ``as_u8`` keeps the
+    canvas uint8 (the wire format of the u8 transport path — [0,1] scaling
+    then happens on device inside crop_batch); default is float32 in [0,1],
+    value-identical after that device scaling."""
     center = record.center.astype(np.float64).copy()
     scale = float(record.scale)
     keypoints = record.keypoints.astype(np.float64).copy()
@@ -74,15 +78,19 @@ def record_to_canvas(
     if src_u8.ndim == 2:
         src_u8 = np.stack([src_u8] * 3, axis=-1)
 
-    # Native fast path: clipped region copy + [0,1] normalization in C++
-    # (bilinear_tpu/native/fastpack.cpp) — avoids float-converting the whole
-    # source frame. Falls back to numpy when no compiler is available.
+    # Native fast path: clipped region copy (+ [0,1] normalization for f32)
+    # in C++ (bilinear_tpu/native/fastpack.cpp) — avoids float-converting the
+    # whole source frame. Falls back to numpy when no compiler is available.
     from bilinear_tpu import native
 
-    region = native.pack_canvas_f32(src_u8, canvas, int(ul[0]), int(ul[1]))
+    if as_u8:
+        region = native.pack_canvas_u8(src_u8, canvas, int(ul[0]), int(ul[1]))
+    else:
+        region = native.pack_canvas_f32(src_u8, canvas, int(ul[0]), int(ul[1]))
     if region is None:
-        region = np.zeros((canvas, canvas, 3), np.float32)
-        src = src_u8.astype(np.float32) / 255.0
+        dt = np.uint8 if as_u8 else np.float32
+        region = np.zeros((canvas, canvas, 3), dt)
+        src = src_u8 if as_u8 else src_u8.astype(np.float32) / 255.0
         sy0, sx0 = max(0, ul[1]), max(0, ul[0])
         sy1 = min(image.height, ul[1] + canvas)
         sx1 = min(image.width, ul[0] + canvas)
@@ -110,7 +118,10 @@ class MPIIHostPipeline:
         seed: int = 0,
         drop_last: bool = False,
         pad: bool = False,
+        transport: str = "f32",  # 'u8' ships uint8 canvases (4x less
+        # host->device traffic; device rescales to [0,1] in crop_batch)
     ):
+        assert transport in ("f32", "u8"), transport
         self.annotations = annotations
         self.batch_size = batch_size
         self.canvas = canvas
@@ -124,6 +135,7 @@ class MPIIHostPipeline:
         # JPEG decode dominates host time and releases the GIL in PIL's C
         # core, so intra-batch samples load in parallel (replaces the
         # reference's 8 worker processes, without pickling).
+        self.transport = transport
         self._pool: Optional[ThreadPoolExecutor] = None
         self.decode_threads = 8
 
@@ -138,7 +150,10 @@ class MPIIHostPipeline:
 
     def _load(self, indices: Sequence[int]) -> CanvasBatch:
         B = self.batch_size if self.pad else len(indices)
-        images = np.zeros((B, self.canvas, self.canvas, 3), np.float32)
+        u8 = self.transport == "u8"
+        images = np.zeros(
+            (B, self.canvas, self.canvas, 3), np.uint8 if u8 else np.float32
+        )
         centers = np.zeros((B, 2), np.float32)
         scales = np.ones(B, np.float32)
         keypoints = np.full((B, 16, 2), np.nan, np.float32)
@@ -151,7 +166,9 @@ class MPIIHostPipeline:
             rec = self.annotations.record(index)
             with Image.open(self.annotations.image_path(rec)) as img:
                 img = img.convert("RGB")
-                region, c, s, kp = record_to_canvas(img, rec, self.canvas)
+                region, c, s, kp = record_to_canvas(
+                    img, rec, self.canvas, as_u8=u8
+                )
             images[slot] = region
             centers[slot] = c
             scales[slot] = s

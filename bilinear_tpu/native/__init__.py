@@ -57,6 +57,8 @@ def load() -> Optional[ctypes.CDLL]:
     lib.resize_linear_u8.restype = None
     lib.pack_canvas_f32.argtypes = [u8p, i, i, i, f32p, i, i, i]
     lib.pack_canvas_f32.restype = None
+    lib.pack_canvas_u8.argtypes = [u8p, i, i, i, u8p, i, i, i]
+    lib.pack_canvas_u8.restype = None
     _lib = lib
     return _lib
 
@@ -86,4 +88,20 @@ def pack_canvas_f32(
     sh, sw, ch = src.shape
     dst = np.empty((canvas, canvas, ch), np.float32)
     lib.pack_canvas_f32(src, sh, sw, ch, dst, canvas, int(ul_x), int(ul_y))
+    return dst
+
+
+def pack_canvas_u8(
+    src: np.ndarray, canvas: int, ul_x: int, ul_y: int
+) -> Optional[np.ndarray]:
+    """(sh, sw, ch) uint8 region starting at (ul_x, ul_y) -> zero-padded
+    (canvas, canvas, ch) uint8 (wire format for the u8 transport path).
+    None if unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.uint8)
+    sh, sw, ch = src.shape
+    dst = np.empty((canvas, canvas, ch), np.uint8)
+    lib.pack_canvas_u8(src, sh, sw, ch, dst, canvas, int(ul_x), int(ul_y))
     return dst

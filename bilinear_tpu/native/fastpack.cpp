@@ -135,4 +135,23 @@ void pack_canvas_f32(const uint8_t* src, int sh, int sw, int ch,
     }
 }
 
+// Same clipped region copy, but kept uint8 (no normalization): the wire
+// format for the u8 transport path, where [0,1] scaling happens on device
+// inside the jitted step (ops/affine.py::crop_batch). 4x less host->device
+// traffic than the float32 canvases — material over a tunneled PJRT link.
+void pack_canvas_u8(const uint8_t* src, int sh, int sw, int ch,
+                    uint8_t* dst, int canvas, int ul_x, int ul_y) {
+    std::memset(dst, 0, static_cast<size_t>(canvas) * canvas * ch);
+    int sy0 = std::max(0, ul_y), sx0 = std::max(0, ul_x);
+    int sy1 = std::min(sh, ul_y + canvas), sx1 = std::min(sw, ul_x + canvas);
+    if (sy1 <= sy0 || sx1 <= sx0) return;
+    int dy0 = sy0 - ul_y, dx0 = sx0 - ul_x;
+    size_t count = static_cast<size_t>(sx1 - sx0) * ch;
+    for (int y = sy0; y < sy1; ++y) {
+        const uint8_t* srow = src + (static_cast<size_t>(y) * sw + sx0) * ch;
+        uint8_t* drow = dst + (static_cast<size_t>(y - sy0 + dy0) * canvas + dx0) * ch;
+        std::memcpy(drow, srow, count);
+    }
+}
+
 }  // extern "C"

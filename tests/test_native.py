@@ -65,3 +65,14 @@ def test_pipeline_uses_native_path(lib_available, tmp_path):
     np.testing.assert_allclose(
         region[sy, sx], np.asarray(img, np.float32)[50, 70] / 255.0, atol=1e-6
     )
+
+
+def test_pack_canvas_u8_matches_f32(lib_available):
+    """u8 wire format: region copy equals the f32 pack after /255."""
+    rng = np.random.RandomState(3)
+    src = (rng.rand(90, 120, 3) * 255).astype(np.uint8)
+    for ul_x, ul_y in [(-20, 30), (0, 0), (100, 80), (-300, -300), (119, 89)]:
+        u8 = native.pack_canvas_u8(src, 64, ul_x, ul_y)
+        f32 = native.pack_canvas_f32(src, 64, ul_x, ul_y)
+        assert u8.dtype == np.uint8
+        np.testing.assert_allclose(u8.astype(np.float32) / 255.0, f32, atol=1e-6)

@@ -221,3 +221,56 @@ def test_hourglass_bf16_training_matches_f32_quality(mpii_root):
     # training behavior, only precision (~3 significant digits).
     for a, b in zip(f32, bf16):
         assert abs(a - b) / max(abs(a), 1e-9) < 0.25, (f32, bf16)
+
+
+def test_u8_transport_equals_f32(mpii_root):
+    """transport='u8' ships uint8 canvases; after crop_batch's on-device
+    /255 the training inputs match the f32 transport path."""
+    anns = MPIIAnnotations(mpii_root, Task.Train)
+    pf = MPIIHostPipeline(anns, batch_size=4, canvas=256)
+    pu = MPIIHostPipeline(anns, batch_size=4, canvas=256, transport="u8")
+    bf = next(iter(pf))
+    bu = next(iter(pu))
+    assert bu.images.dtype == np.uint8 and bf.images.dtype == np.float32
+    np.testing.assert_allclose(
+        bu.images.astype(np.float32) / 255.0, bf.images, atol=1e-7
+    )
+    np.testing.assert_array_equal(bu.centers, bf.centers)
+    np.testing.assert_array_equal(bu.keypoints, bf.keypoints)
+
+    args = lambda b: (
+        jnp.asarray(b.centers), jnp.asarray(b.scales),
+        jnp.asarray(b.keypoints), jnp.asarray(b.valid),
+    )
+    cf, hf, _ = preprocess_batch(
+        jax.random.PRNGKey(0), jnp.asarray(bf.images), *args(bf), augment=False
+    )
+    cu, hu, _ = preprocess_batch(
+        jax.random.PRNGKey(0), jnp.asarray(bu.images), *args(bu), augment=False
+    )
+    assert cu.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(cu), np.asarray(cf), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(hu), np.asarray(hf))
+
+
+def test_u8_transport_train_step(mpii_root):
+    """A full jitted train step accepts uint8 canvases and matches f32."""
+    anns = MPIIAnnotations(mpii_root, Task.Train)
+    pf = MPIIHostPipeline(anns, batch_size=2, canvas=128)
+    pu = MPIIHostPipeline(anns, batch_size=2, canvas=128, transport="u8")
+    bf, bu = next(iter(pf)), next(iter(pu))
+
+    trainer = HourglassTrainer(batch_size=2, canvas=128)
+    trainer.model = MainModel(n_stacks=1, features=8, depth=1)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    def as_dict(b):
+        return {
+            "images": jnp.asarray(b.images), "centers": jnp.asarray(b.centers),
+            "scales": jnp.asarray(b.scales),
+            "keypoints": jnp.asarray(b.keypoints), "valid": jnp.asarray(b.valid),
+        }
+
+    _, loss_f = jax.jit(trainer._train_step)(state, as_dict(bf), jax.random.PRNGKey(1))
+    _, loss_u = jax.jit(trainer._train_step)(state, as_dict(bu), jax.random.PRNGKey(1))
+    assert float(loss_f) == pytest.approx(float(loss_u), rel=1e-5)
