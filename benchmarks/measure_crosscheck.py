@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from bilinear_tpu.utils.profiling import measure_fn
+from bilinear_tpu.utils.profiling import measure_fn, mix
 
 
 def build_op(name: str):
@@ -44,7 +44,9 @@ def build_op(name: str):
         x = jax.random.normal(jax.random.PRNGKey(0), (2048, 2048), jnp.bfloat16)
 
         def fn(eps):
-            return (x + eps) @ x
+            # mix(), not x + eps: a bare add lets XLA hoist the whole
+            # loop-invariant matmul (this script is what caught that).
+            return mix(x, eps) @ x
 
         return fn
     if name == "hourglass":
@@ -61,8 +63,11 @@ def build_op(name: str):
     raise ValueError(name)
 
 
-def longrun_estimate(fn, k: int = 200, reps: int = 3) -> float:
-    """Un-differenced K-loop wall time / K. Valid when K*t >> RTT."""
+def longrun_estimate(fn, t_est: float, reps: int = 3) -> float:
+    """Un-differenced K-loop wall time / K, with K sized from a first
+    estimate so the single fetch RTT (~25 ms on the tunnel) is <1% of the
+    loop: K*t >= 3 s."""
+    k = max(200, int(3.0 / max(t_est, 1e-6)))
 
     @jax.jit
     def run():
@@ -110,11 +115,13 @@ def trace_estimate(fn, k: int = 32) -> tuple:
     with open(paths[0], "rb") as f:
         xs.ParseFromString(f.read())
 
-    best = None
+    # Trace lines nest (module + sub-events per dispatch), so group events
+    # by metadata name and prefer a group with exactly one event per
+    # dispatch (count == k); among candidates take the longest total.
+    groups: dict = {}
     for plane in xs.planes:
         device = not plane.name.startswith("/host:")
         for line in plane.lines:
-            durs = []
             for ev in line.events:
                 name = (
                     plane.event_metadata[ev.metadata_id].name
@@ -122,15 +129,15 @@ def trace_estimate(fn, k: int = 32) -> tuple:
                     else ""
                 )
                 if device or "Executable::Execute" in name:
-                    durs.append(ev.duration_ps * 1e-12)
-            if durs and (best is None or sum(durs) > best[0]):
-                where = f"{plane.name}/{line.name}"
-                best = (sum(durs), len(durs), where)
-    if best is None:
+                    key = (plane.name, line.name, name)
+                    tot, n = groups.get(key, (0.0, 0))
+                    groups[key] = (tot + ev.duration_ps * 1e-12, n + 1)
+    if not groups:
         return None, "no executable events in trace"
-    total, n, where = best
-    # Each dispatch appears once per line; average per dispatch.
-    return total / max(n, 1), f"{n} events on {where}"
+    per_dispatch = {kk: v for kk, v in groups.items() if v[1] == k}
+    pool = per_dispatch or groups
+    key, (total, n) = max(pool.items(), key=lambda kv: kv[1][0])
+    return total / n, f"{n} x {key[2]} on {key[0]}/{key[1]}"
 
 
 def main(argv=None):
@@ -141,7 +148,7 @@ def main(argv=None):
 
     fn = build_op(args.op)
     t_measure = measure_fn(fn, k1=4, k2=24)
-    t_long = longrun_estimate(fn)
+    t_long = longrun_estimate(fn, t_measure)
     t_trace, how = trace_estimate(fn)
 
     rel_long = abs(t_long - t_measure) / t_measure

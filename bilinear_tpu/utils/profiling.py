@@ -63,6 +63,20 @@ class Timer:
         return self.items / self.elapsed if self.elapsed else 0.0
 
 
+def mix(x: jnp.ndarray, eps) -> jnp.ndarray:
+    """Rewrite-proof way to make ``x`` iteration-dependent inside measure_fn.
+
+    ``x + eps`` is NOT enough when everything downstream of the mix is
+    linear (matmuls, convolutions, slices, pads, selects-free resamples):
+    XLA's algebraic simplifier distributes ``(x + eps) @ w`` into a hoisted
+    ``x @ w`` plus a rank-1 eps term, and the loop "measures" only the cheap
+    update (observed: a 2048^3 bf16 matmul timed 3x faster than its own
+    profiler-trace duration). The select below has no distribution rule, so
+    the full computation stays inside the loop; its predicate is always true
+    at runtime (|eps| ~ 1e-38) and costs one fused elementwise op."""
+    return jnp.where(eps > -1.0, x + eps, x - 1.0)
+
+
 def measure_fn(
     fn: Callable[[jnp.ndarray], jnp.ndarray],
     k1: int = 4,
@@ -73,10 +87,26 @@ def measure_fn(
     K-iteration loops so per-fetch RTT cancels.
 
     CRITICAL CONTRACT: ``fn`` receives a tiny traced scalar (|eps| ~ 1e-38 *
-    output magnitude) and MUST mix it into its inputs (e.g. ``x + eps``).
-    Without that, every iteration is loop-invariant and XLA hoists the body
-    out of the loop — the measurement silently times ONE execution."""
+    output magnitude) and MUST mix it into its inputs. Without that, every
+    iteration is loop-invariant and XLA hoists the body out of the loop —
+    the measurement silently times ONE execution. Use ``mix(x, eps)`` (not
+    a bare ``x + eps``) whenever the computation under test is linear in
+    ``x`` — a bare add lets the algebraic simplifier hoist the linear part
+    (see mix's docstring); nonlinear networks (ReLU/BN after the first
+    layer) only leak their first linear layer, usually negligible.
 
+    The differenced signal must dwarf the per-fetch RTT jitter (~ms on the
+    tunnel): after a pilot run with (k1, k2), the loop length is re-sized so
+    (k2' - k1) * t >= ``target_s`` and the measurement repeated. Without
+    this, sub-millisecond ops read 2-3x off (caught by the cross-check:
+    a 2048^3 bf16 matmul "measured" 0.04 ms against a 0.10 ms trace truth).
+
+    Cross-validation: benchmarks/measure_crosscheck.py checks this harness
+    against jax.profiler trace durations and an RTT-amortized long run."""
+    return _measure(fn, k1, k2, reps, target_s=0.5)
+
+
+def _measure(fn, k1, k2, reps, target_s, _max_iters: int = 2_000_000):
     def loop(k):
         @jax.jit
         def run():
@@ -88,10 +118,6 @@ def measure_fn(
 
         return run
 
-    run1, run2 = loop(k1), loop(k2)
-    float(run1())
-    float(run2())
-
     def best(r):
         b = float("inf")
         for _ in range(reps):
@@ -100,4 +126,20 @@ def measure_fn(
             b = min(b, time.perf_counter() - t0)
         return b
 
-    return (best(run2) - best(run1)) / (k2 - k1)
+    run1 = loop(k1)
+    float(run1())  # compile
+    t1 = best(run1)
+
+    def diff_estimate(k_hi):
+        run_hi = loop(k_hi)
+        float(run_hi())
+        return (best(run_hi) - t1) / (k_hi - k1)
+
+    t = diff_estimate(k2)
+    # Re-size so the differenced signal is >= target_s (RTT jitter safe).
+    if (k2 - k1) * t < target_s:
+        t_pilot = max(t, t1 / max(k1, 1) * 0.05, 1e-7)
+        k2_big = min(k1 + int(target_s / t_pilot) + 1, _max_iters)
+        if k2_big > k2:
+            t = diff_estimate(k2_big)
+    return t
