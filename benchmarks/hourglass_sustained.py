@@ -67,6 +67,13 @@ def main(argv=None):
     p.add_argument("--group", type=int, default=4,
                    help="batches per device dispatch (steps_per_dispatch)")
     p.add_argument("--decode-threads", type=int, default=8)
+    p.add_argument("--canvas", type=int, default=512,
+                   help="host canvas size; smaller ships fewer bytes per "
+                   "step (big crops fall back to the reference's two-stage "
+                   "resample path)")
+    p.add_argument("--cache", action="store_true",
+                   help="materialize decoded u8 canvases to a memmap "
+                   "(one-time decode, epochs then skip JPEG work)")
     p.add_argument("--tiny-model", action="store_true",
                    help="1-stack/8-feature model (CI / CPU smoke)")
     args = p.parse_args(argv)
@@ -81,8 +88,10 @@ def main(argv=None):
 
     def make_pipe():
         pipe = MPIIHostPipeline(
-            anns, args.batch_size, shuffle=True, seed=0, drop_last=True,
-            transport=args.transport,
+            anns, args.batch_size, canvas=args.canvas, shuffle=True, seed=0,
+            drop_last=True, transport=args.transport,
+            cache_dir=os.path.join(args.root, "canvas_cache")
+            if args.cache else None,
         )
         pipe.decode_threads = args.decode_threads
         return pipe
@@ -109,13 +118,15 @@ def main(argv=None):
         "image_size": [args.height, args.width],
         "transport": args.transport,
         "decode_threads": args.decode_threads,
+        "canvas": args.canvas,
+        "cache": args.cache,
     }), flush=True)
 
     # ---- trainer ------------------------------------------------------------
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     size = dict(n_stacks=1, features=8, depth=1) if args.tiny_model else {}
     trainer = HourglassTrainer(
-        batch_size=args.batch_size, dtype=dtype, **size
+        batch_size=args.batch_size, dtype=dtype, canvas=args.canvas, **size
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
 

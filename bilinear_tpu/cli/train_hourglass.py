@@ -36,8 +36,10 @@ def main(argv=None) -> None:
 
     annotations = MPIIAnnotations(cfg.data_dir, Task.Train)
     pipeline = MPIIHostPipeline(
-        annotations, cfg.batch_size, shuffle=True, seed=cfg.seed,
-        transport=cfg.transport,
+        annotations, cfg.batch_size, canvas=cfg.canvas, shuffle=True,
+        seed=cfg.seed, transport=cfg.transport,
+        cache_dir=os.path.join(cfg.data_dir, "canvas_cache", "train")
+        if cfg.cache_canvases else None,
     )
 
     trainer = HourglassTrainer(
@@ -45,6 +47,7 @@ def main(argv=None) -> None:
         batch_size=cfg.batch_size,
         learning_rate=cfg.learning_rate,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
+        canvas=cfg.canvas,
         n_stacks=cfg.n_stacks,
         features=cfg.features,
         depth=cfg.depth,

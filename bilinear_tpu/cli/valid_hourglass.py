@@ -36,13 +36,17 @@ def main(argv=None) -> None:
     # (valid_hourglass.py:23-48).
     train_pipe = MPIIHostPipeline(
         MPIIAnnotations(cfg.data_dir, Task.Train), cfg.batch_size, pad=True,
-        transport=cfg.transport,
+        transport=cfg.transport, canvas=cfg.canvas,
+        cache_dir=os.path.join(cfg.data_dir, "canvas_cache", "train")
+        if cfg.cache_canvases else None,
     )
     stats = recalibrate(trainer.model, state.params, state.batch_stats, train_pipe)
 
     valid_pipe = MPIIHostPipeline(
         MPIIAnnotations(cfg.data_dir, Task.Valid), cfg.batch_size, pad=True,
-        transport=cfg.transport,
+        transport=cfg.transport, canvas=cfg.canvas,
+        cache_dir=os.path.join(cfg.data_dir, "canvas_cache", "valid")
+        if cfg.cache_canvases else None,
     )
     variables = {"params": state.params, "batch_stats": stats}
     per_joint, avg = evaluate_pckh(trainer.model, variables, valid_pipe)

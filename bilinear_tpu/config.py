@@ -59,6 +59,11 @@ class HourglassConfig:
     transport: str = "u8"  # host->device image wire format: 'u8' ships uint8
     # canvases (4x less PCIe/tunnel traffic; device rescales in crop_batch),
     # 'f32' ships ready floats. Values are identical either way.
+    canvas: int = 512  # host canvas size; smaller ships fewer bytes per step
+    # (crops too big for it take the reference's two-stage resample path)
+    cache_canvases: bool = False  # decode each JPEG once into a u8 memmap
+    # under {data_dir}/canvas_cache; epochs then skip JPEG decode (the
+    # reference re-decodes in 8 worker processes every epoch)
     # Model size (reference: model/hourglass_torch7.py:6-11). Override for
     # tiny smoke/integration runs of the CLIs.
     n_stacks: int = 8

@@ -19,6 +19,7 @@ A double-buffered thread prefetcher overlaps host decode with device compute
 from __future__ import annotations
 
 import math
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -120,8 +121,15 @@ class MPIIHostPipeline:
         pad: bool = False,
         transport: str = "f32",  # 'u8' ships uint8 canvases (4x less
         # host->device traffic; device rescales to [0,1] in crop_batch)
+        cache_dir: Optional[str] = None,  # materialize decoded u8 canvases
+        # to a memmap on first use; later epochs skip JPEG decode entirely.
+        # Augmentation is on-device, so cached canvases stay fully augmented
+        # per epoch. Requires transport='u8'. ~C*C*3 bytes/record on disk.
     ):
         assert transport in ("f32", "u8"), transport
+        assert cache_dir is None or transport == "u8", (
+            "canvas cache stores uint8; use transport='u8'"
+        )
         self.annotations = annotations
         self.batch_size = batch_size
         self.canvas = canvas
@@ -136,6 +144,8 @@ class MPIIHostPipeline:
         # core, so intra-batch samples load in parallel (replaces the
         # reference's 8 worker processes, without pickling).
         self.transport = transport
+        self.cache_dir = cache_dir
+        self._cache = None  # (images_memmap, meta dict) once materialized
         self._pool: Optional[ThreadPoolExecutor] = None
         self.decode_threads = 8
 
@@ -144,11 +154,66 @@ class MPIIHostPipeline:
             self._pool = ThreadPoolExecutor(max_workers=self.decode_threads)
         return self._pool
 
+    # ------------------------------------------------------------- cache
+    def materialize(self) -> None:
+        """Decode every record once into an on-disk uint8 canvas memmap
+        (plus an .npz of the canvas-space annotations). Subsequent epochs
+        read slices instead of re-running JPEG decode — the reference
+        re-decodes in 8 worker processes every epoch (MPII/data.py:70-140);
+        decode here is a one-time cost amortized over the training budget."""
+        if self._cache is not None or self.cache_dir is None:
+            return
+        os.makedirs(self.cache_dir, exist_ok=True)
+        n = len(self.annotations)
+        tag = f"canvas{self.canvas}_n{n}"
+        img_path = os.path.join(self.cache_dir, f"{tag}.u8")
+        meta_path = os.path.join(self.cache_dir, f"{tag}.npz")
+        shape = (n, self.canvas, self.canvas, 3)
+        if not (os.path.exists(img_path) and os.path.exists(meta_path)):
+            mm = np.lib.format.open_memmap(
+                img_path + ".tmp", mode="w+", dtype=np.uint8, shape=shape
+            )
+            centers = np.zeros((n, 2), np.float32)
+            scales = np.ones(n, np.float32)
+            keypoints = np.full((n, 16, 2), np.nan, np.float32)
+            valid = np.zeros((n, 16), bool)
+            heads = np.ones(n, np.float32)
+
+            def load_one(index):
+                rec = self.annotations.record(index)
+                with Image.open(self.annotations.image_path(rec)) as img:
+                    img = img.convert("RGB")
+                    region, c, s, kp = record_to_canvas(
+                        img, rec, self.canvas, as_u8=True
+                    )
+                mm[index] = region
+                centers[index] = c
+                scales[index] = s
+                keypoints[index] = kp
+                valid[index] = rec.valid
+                heads[index] = rec.head
+
+            list(self._get_pool().map(load_one, range(n)))
+            mm.flush()
+            np.savez(
+                meta_path + ".tmp.npz", centers=centers, scales=scales,
+                keypoints=keypoints, valid=valid, heads=heads,
+            )
+            os.replace(meta_path + ".tmp.npz", meta_path)
+            os.replace(img_path + ".tmp", img_path)
+        images = np.load(img_path, mmap_mode="r")
+        meta = dict(np.load(meta_path))
+        self._cache = (images, meta)
+
     def __len__(self) -> int:
         n = len(self.annotations)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _load(self, indices: Sequence[int]) -> CanvasBatch:
+        if self.cache_dir is not None:
+            self.materialize()
+        if self._cache is not None:
+            return self._load_cached(indices)
         B = self.batch_size if self.pad else len(indices)
         u8 = self.transport == "u8"
         images = np.zeros(
@@ -181,6 +246,27 @@ class MPIIHostPipeline:
         return CanvasBatch(
             images, centers, scales, keypoints, valid, heads, idx_arr,
             pad=B - len(indices),
+        )
+
+    def _load_cached(self, indices: Sequence[int]) -> CanvasBatch:
+        images_mm, meta = self._cache
+        B = self.batch_size if self.pad else len(indices)
+        idx = np.asarray(indices, np.int64)
+        images = np.zeros((B, self.canvas, self.canvas, 3), np.uint8)
+        images[: len(idx)] = images_mm[idx]
+        def take(key, fill, dtype):
+            out = np.full((B,) + meta[key].shape[1:], fill, dtype)
+            out[: len(idx)] = meta[key][idx]
+            return out
+        return CanvasBatch(
+            images,
+            take("centers", 0.0, np.float32),
+            take("scales", 1.0, np.float32),
+            take("keypoints", np.nan, np.float32),
+            take("valid", False, bool),
+            take("heads", 1.0, np.float32),
+            np.concatenate([idx, np.full(B - len(idx), -1, np.int64)]),
+            pad=B - len(idx),
         )
 
     def _index_batches(self, epoch: int) -> List[List[int]]:

@@ -274,3 +274,39 @@ def test_u8_transport_train_step(mpii_root):
     _, loss_f = jax.jit(trainer._train_step)(state, as_dict(bf), jax.random.PRNGKey(1))
     _, loss_u = jax.jit(trainer._train_step)(state, as_dict(bu), jax.random.PRNGKey(1))
     assert float(loss_f) == pytest.approx(float(loss_u), rel=1e-5)
+
+
+def test_canvas_cache_matches_decode(mpii_root, tmp_path):
+    """cache_dir materializes u8 canvases once; cached batches are
+    identical to freshly-decoded ones (same records, same content)."""
+    anns = MPIIAnnotations(mpii_root, Task.Train)
+    fresh = MPIIHostPipeline(anns, batch_size=4, canvas=128, transport="u8")
+    cached = MPIIHostPipeline(
+        anns, batch_size=4, canvas=128, transport="u8",
+        cache_dir=str(tmp_path / "cache"),
+    )
+    bf = next(iter(fresh))
+    bc = next(iter(cached))
+    np.testing.assert_array_equal(bc.images, bf.images)
+    np.testing.assert_array_equal(bc.centers, bf.centers)
+    np.testing.assert_array_equal(bc.scales, bf.scales)
+    np.testing.assert_array_equal(bc.keypoints, bf.keypoints)
+    np.testing.assert_array_equal(bc.valid, bf.valid)
+    np.testing.assert_array_equal(bc.heads, bf.heads)
+    np.testing.assert_array_equal(bc.index, bf.index)
+    # Second pipeline instance reuses the on-disk cache (no re-decode).
+    reread = MPIIHostPipeline(
+        anns, batch_size=4, canvas=128, transport="u8",
+        cache_dir=str(tmp_path / "cache"),
+    )
+    br = next(iter(reread))
+    np.testing.assert_array_equal(br.images, bf.images)
+    # Shuffled epochs shuffle cached batches identically to decode path.
+    f2 = list(MPIIHostPipeline(anns, 4, canvas=128, shuffle=True, seed=3,
+                               transport="u8").epoch(1))
+    c2 = list(MPIIHostPipeline(anns, 4, canvas=128, shuffle=True, seed=3,
+                               transport="u8",
+                               cache_dir=str(tmp_path / "cache")).epoch(1))
+    for a, b in zip(f2, c2):
+        np.testing.assert_array_equal(b.images, a.images)
+        np.testing.assert_array_equal(b.index, a.index)
