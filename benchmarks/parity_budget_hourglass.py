@@ -1,0 +1,355 @@
+"""Full-budget trajectory parity for the HOURGLASS trainer vs the reference.
+
+Companion to parity_budget.py (bilinear). Runs the reference's actual
+training semantics — train_hourglass.py:63-95: sum-of-per-stack-MSE loss,
+backward, clip_grad_norm_(1), RMSprop(2.5e-4), step counter, per-epoch
+checkpoints — on the reference's own MainModel (model/hourglass_torch7.py,
+imported from /root/reference as a torch-CPU oracle) against our jitted
+train step, in LOCKSTEP on identical crops/targets, through:
+
+- >= 2 epochs including a trailing partial batch,
+- a checkpoint/save -> restore boundary on BOTH sides after epoch 1
+  (ours via io.checkpoint, theirs via torch state_dicts — the
+  model/hourglass_torch7.py:132-156 resume contract),
+
+then evaluates BOTH sides with the reference's full PCKh protocol
+(valid_hourglass.py:23-48,88-128): BN reset + cumulative-momentum
+recalibration pass over the train set in train mode, flip test-time
+augmentation with the L/R channel swap, argmax decode to image space, and
+PCKh@0.5 over NaN-masked joints — and asserts the final metric gap.
+
+Augmentation RNG is the one thing torch and JAX cannot share (like dropout
+in the bilinear harness), so both sides consume the same pre-rendered
+(crops, heatmaps) tensors; every numerical contract of the loop itself
+(loss reduction, clipping, RMSprop formula, BN train-mode statistics,
+cumulative recalibration, decode, PCKh masking) runs end-to-end on both.
+
+Claims (same two-leg structure as the bilinear harness):
+- precision='float64': semantic proof — full state resynced from torch at
+  each epoch boundary; per-step loss must track at the f64 noise floor.
+- precision='float32': deployment precision, NO resync; assert the final
+  PCKh gap (and the valid-loss rel gap) across the free-running budget.
+
+Run standalone:  python benchmarks/parity_budget_hourglass.py
+(forces CPU: this is a torch-CPU lockstep by construction).
+"""
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+import tempfile
+from typing import Optional
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load_reference_module(relpath: str, name: str):
+    spec = importlib.util.spec_from_file_location(
+        name, f"/root/reference/{relpath}"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# ---------------------------------------------------------------------------
+# Reference PCKh protocol, transcribed for both sides (valid_hourglass.py).
+# ---------------------------------------------------------------------------
+
+def _decode_image_space(heatmaps, centers, scales):
+    """Argmax decode, valid_hourglass.py:100-106 at heatmap size H:
+    (x, y) = (idx % H, idx // H); image = center + (pose - H/2)/H*scale*200."""
+    import numpy as np
+
+    B, J, H, W = heatmaps.shape
+    flat = heatmaps.reshape(B, J, -1)
+    idx = np.argmax(flat, axis=-1)
+    pose = np.stack([idx % W, idx // W], axis=-1).astype(np.float64)
+    return centers[:, None, :] + (pose - W / 2.0) / W * (
+        scales[:, None, None] * 200.0
+    )
+
+
+def _pckh(pred_img, gt_img, heads, valid):
+    """PCKh@0.5 with NaN masking (valid_hourglass.py:115-128), all joints."""
+    import numpy as np
+
+    d = np.linalg.norm(pred_img - gt_img, axis=-1) / heads[:, None]
+    hits = (d <= 0.5) & valid
+    return float(hits.sum()) / max(int(valid.sum()), 1)
+
+
+def _flip_swap():
+    # MPII L/R joint-id swap, MPII/data.py:113.
+    return [5, 4, 3, 2, 1, 0, 6, 7, 8, 9, 15, 14, 13, 12, 11, 10]
+
+
+def run_parity(
+    n_train: int = 72,  # 8*8 + 8 -> trailing partial batch at batch 8
+    n_valid: int = 48,
+    epochs: int = 2,
+    batch: int = 8,
+    res: int = 64,  # input crop size (heatmaps res//4, reference ratio)
+    seed: int = 0,
+    precision: str = "float64",
+    loss_rtol: Optional[float] = None,
+    pckh_tol: float = 0.02,
+    verbose: bool = True,
+) -> dict:
+    import numpy as np
+    import torch
+
+    import jax
+
+    if precision == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from bilinear_tpu.core.optim import hourglass_optimizer
+    from bilinear_tpu.core.state import TrainState
+    from bilinear_tpu.io.checkpoint import (
+        load_checkpoint,
+        restore_state,
+        save_checkpoint,
+    )
+    from bilinear_tpu.models.hourglass_torch7 import MainModel
+    from bilinear_tpu.ops.heatmap import render_heatmaps
+    from bilinear_tpu.utils.torch_compat import hourglass_torch7_from_torch
+
+    hm = res // 4
+    dtype = jnp.float64 if precision == "float64" else jnp.float32
+    tdtype = torch.float64 if precision == "float64" else torch.float32
+
+    # ---- tiny reference-shaped config ------------------------------------
+    ref = _load_reference_module("model/hourglass_torch7.py", "ref_hg_budget")
+    ref.CONFIG.nStacks = 2
+    ref.CONFIG.nFeatures = 16
+    ref.CONFIG.nDepth = 2
+    torch.manual_seed(seed)
+    tm = ref.MainModel().to(tdtype)
+    tm.train()
+    topt = torch.optim.RMSprop(tm.parameters(), lr=2.5e-4)
+    crit = torch.nn.MSELoss()
+
+    ours = MainModel(n_stacks=2, features=16, depth=2, dtype=dtype)
+    tx = hourglass_optimizer(2.5e-4)
+
+    def sync_from_torch():
+        params, stats = hourglass_torch7_from_torch(tm.state_dict(), 2, 2)
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        stats = jax.tree.map(
+            lambda x: jnp.asarray(
+                x, dtype if jnp.asarray(x).dtype.kind == "f" else None
+            ),
+            stats,
+        )
+        return params, stats
+
+    params, stats = sync_from_torch()
+    state = TrainState.create(params, stats, tx)
+
+    # RMSprop state sync: torch square_avg starts at 0 on both sides, so a
+    # fresh optimizer at each resync point matches (the harness resyncs at
+    # epoch boundaries only in the f64 leg, recreating both optimizers).
+
+    # ---- identical data: crops + reference-rendered heatmaps -------------
+    rng = np.random.RandomState(seed + 1)
+    def make_split(n):
+        imgs = rng.rand(n, res, res, 3).astype(np.float32)
+        kp_hm = rng.uniform(1.5, hm - 1.5, (n, 16, 2)).astype(np.float32)
+        valid = rng.rand(n, 16) > 0.1
+        targets = np.asarray(
+            render_heatmaps(jnp.asarray(kp_hm), jnp.asarray(valid), size=hm),
+            np.float32,
+        )  # (n, 16, hm, hm), sigma-1 Gaussians, masked like the reference
+        centers = rng.uniform(100, 200, (n, 2)).astype(np.float64)
+        scales = rng.uniform(0.8, 1.2, n).astype(np.float64)
+        heads = rng.uniform(20, 40, n).astype(np.float64)
+        # ground-truth image-space keypoints consistent with the decode map
+        gt_img = centers[:, None, :] + (
+            kp_hm.astype(np.float64) - hm / 2.0
+        ) / hm * (scales[:, None, None] * 200.0)
+        gt_img[~valid] = np.nan
+        return dict(imgs=imgs, targets=targets, centers=centers,
+                    scales=scales, heads=heads, valid=valid, gt=gt_img)
+
+    train = make_split(n_train)
+    valid = make_split(n_valid)
+
+    # ---- our jitted step (same program as HourglassTrainer's core) --------
+    @jax.jit
+    def step(state, x, tgt):
+        def loss_fn(p):
+            out, mut = ours.apply(
+                {"params": p, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"],
+            )
+            t = jnp.transpose(tgt, (0, 2, 3, 1))
+            return (
+                jnp.sum(jnp.mean(jnp.square(out - t[None]), axis=(1, 2, 3, 4))),
+                mut["batch_stats"],
+            )
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        return state.apply_updates(tx, grads).replace(batch_stats=new_stats), loss
+
+    # ---- lockstep training ------------------------------------------------
+    ckpt_dir = tempfile.mkdtemp(prefix="hg_parity_ckpt_")
+    max_rel = 0.0
+    n_batches = -(-n_train // batch)
+    step_i = 0
+    for epoch in range(1, epochs + 1):
+        order = np.random.RandomState(seed + 10 + epoch).permutation(n_train)
+        for b in range(n_batches):
+            idx = order[b * batch : (b + 1) * batch]
+            x = train["imgs"][idx]
+            tgt = train["targets"][idx]
+
+            topt.zero_grad()
+            outs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()).to(tdtype))
+            tl = sum(crit(o, torch.from_numpy(tgt.copy()).to(tdtype)) for o in outs)
+            tl.backward()
+            torch.nn.utils.clip_grad_norm_(tm.parameters(), max_norm=1)
+            topt.step()
+
+            state, jl = step(
+                state, jnp.asarray(x, dtype), jnp.asarray(tgt, dtype)
+            )
+            step_i += 1
+            rel = abs(float(tl.detach()) - float(jl)) / max(abs(float(tl)), 1e-12)
+            max_rel = max(max_rel, rel)
+            if loss_rtol is not None:
+                assert rel < loss_rtol, (
+                    f"epoch {epoch} step {step_i}: torch {float(tl):.12g} "
+                    f"vs jax {float(jl):.12g} (rel {rel:.3g})"
+                )
+
+        if epoch == 1:
+            # Checkpoint/restore boundary on both sides (resume contract).
+            save_checkpoint(ckpt_dir, epoch, state)
+            template = TrainState.create(
+                jax.tree.map(jnp.zeros_like, state.params),
+                jax.tree.map(jnp.zeros_like, state.batch_stats),
+                tx,
+            )
+            state = restore_state(template, load_checkpoint(ckpt_dir, epoch))
+            sd = {k: v.clone() for k, v in tm.state_dict().items()}
+            od = topt.state_dict()
+            torch.manual_seed(seed + 99)
+            tm2 = ref.MainModel().to(tdtype)
+            tm2.load_state_dict(sd)
+            tm = tm2
+            tm.train()
+            topt = torch.optim.RMSprop(tm.parameters(), lr=2.5e-4)
+            topt.load_state_dict(od)
+
+        if precision == "float64":
+            # Semantic-proof leg: resync full state so fp chaos cannot
+            # accumulate across epochs. TrainState.create re-inits the
+            # RMSprop accumulator to zeros; a fresh torch RMSprop matches
+            # (square_avg starts at zero on both sides).
+            params, stats = sync_from_torch()
+            state = TrainState.create(params, stats, tx)
+            topt = torch.optim.RMSprop(tm.parameters(), lr=2.5e-4)
+
+    # ---- reference eval protocol on both sides ----------------------------
+    swap = _flip_swap()
+
+    def torch_eval():
+        # reset + cumulative recalibration (valid_hourglass.py:23-48)
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.reset_running_stats()
+                m.momentum = None
+        tm.train()
+        with torch.no_grad():
+            for i in range(0, n_train, batch):
+                x = train["imgs"][i : i + batch].transpose(0, 3, 1, 2)
+                tm(torch.from_numpy(x.copy()).to(tdtype))
+        tm.eval()
+        preds = []
+        with torch.no_grad():
+            for i in range(0, n_valid, batch):
+                x = valid["imgs"][i : i + batch].transpose(0, 3, 1, 2)
+                xt = torch.from_numpy(x.copy()).to(tdtype)
+                out = tm(xt)[-1].numpy()
+                out_f = tm(torch.flip(xt, dims=(3,)))[-1].numpy()
+                out_f = out_f[:, swap][:, :, :, ::-1]  # swap L/R, unflip
+                preds.append((out + out_f) / 2.0)
+        hmpred = np.concatenate(preds)
+        pred_img = _decode_image_space(
+            hmpred, valid["centers"], valid["scales"]
+        )
+        return _pckh(pred_img, valid["gt"], valid["heads"], valid["valid"])
+
+    def jax_eval(state):
+        from bilinear_tpu.core.norm import reset_batch_stats
+
+        stats = reset_batch_stats(state.batch_stats)
+        variables = {"params": state.params, "batch_stats": stats}
+
+        @jax.jit
+        def recal(stats, x):
+            _, mut = ours.apply(
+                {"params": state.params, "batch_stats": stats},
+                x, train=True, momentum=None,  # cumulative recalibration,
+                mutable=["batch_stats"],       # valid_hourglass.py:23-48
+            )
+            return mut["batch_stats"]
+
+        for i in range(0, n_train, batch):
+            x = jnp.asarray(train["imgs"][i : i + batch], dtype)
+            stats = recal(stats, x)
+        variables["batch_stats"] = stats
+
+        @jax.jit
+        def fwd(x):
+            return ours.apply(variables, x, train=False)[-1]
+
+        preds = []
+        for i in range(0, n_valid, batch):
+            x = jnp.asarray(valid["imgs"][i : i + batch], dtype)
+            out = np.asarray(fwd(x), np.float64)  # (B, hm, hm, J)
+            out_f = np.asarray(fwd(jnp.flip(x, axis=2)), np.float64)
+            out = out.transpose(0, 3, 1, 2)
+            out_f = out_f.transpose(0, 3, 1, 2)[:, swap][:, :, :, ::-1]
+            preds.append((out + out_f) / 2.0)
+        hmpred = np.concatenate(preds)
+        pred_img = _decode_image_space(
+            hmpred, valid["centers"], valid["scales"]
+        )
+        return _pckh(pred_img, valid["gt"], valid["heads"], valid["valid"])
+
+    pckh_ours = jax_eval(state)
+    pckh_ref = torch_eval()
+    gap = abs(pckh_ours - pckh_ref)
+    result = {
+        "precision": precision,
+        "steps": step_i,
+        "max_per_step_loss_rel_diff": max_rel,
+        "pckh_ref": pckh_ref,
+        "pckh_ours": pckh_ours,
+        "pckh_gap": gap,
+        "pckh_tol": pckh_tol,
+        "ok": gap <= pckh_tol,
+    }
+    if verbose:
+        print(json.dumps(result), flush=True)
+    assert gap <= pckh_tol, result
+    return result
+
+
+if __name__ == "__main__":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    # f64 leg ends resynced, so the full eval protocol (reset + cumulative
+    # recal + flip TTA + argmax + PCKh) must agree almost exactly — tol
+    # allows at most ~2 argmax near-tie flips out of ~690 scored joints.
+    run_parity(precision="float64", loss_rtol=1e-6, pckh_tol=0.003)
+    run_parity(precision="float32")

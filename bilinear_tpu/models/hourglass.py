@@ -62,7 +62,7 @@ class LightConv(nn.Module):
         if momentum == "__unset__":
             momentum = self.momentum
         h = TorchBatchNorm(momentum=self.momentum, name="bn")(
-            x.astype(jnp.float32), train=train, momentum=momentum
+            x.astype(jnp.promote_types(jnp.float32, self.dtype)), train=train, momentum=momentum
         ).astype(self.dtype)
         h = nn.relu(h)
         fan_in = x.shape[-1] * self.kernel * self.kernel
@@ -200,6 +200,6 @@ class StackedHourglass(nn.Module):
                 pred, train=train, momentum=momentum
             )
             h = after + skip_tensor + prev_tensor
-            heatmaps.append(pred.astype(jnp.float32))
+            heatmaps.append(pred.astype(jnp.promote_types(jnp.float32, self.dtype)))
 
         return jnp.stack(heatmaps, axis=0)

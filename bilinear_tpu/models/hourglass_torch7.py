@@ -67,7 +67,7 @@ class ResModule(nn.Module):
 
         def bn(name, h):
             return TorchBatchNorm(momentum=self.momentum, name=name)(
-                h.astype(jnp.float32), train=train, momentum=momentum
+                h.astype(jnp.promote_types(jnp.float32, self.dtype)), train=train, momentum=momentum
             ).astype(self.dtype)
 
         # conv_skip is ALWAYS allocated (used only on channel change),
@@ -138,7 +138,7 @@ class Lin(nn.Module):
         x = _conv(self.features, 1, "conv", dtype=self.dtype,
                   fan_in=x.shape[-1])(x)
         x = TorchBatchNorm(momentum=self.momentum, name="bn")(
-            x.astype(jnp.float32), train=train, momentum=momentum
+            x.astype(jnp.promote_types(jnp.float32, self.dtype)), train=train, momentum=momentum
         ).astype(self.dtype)
         return nn.relu(x)
 
@@ -164,7 +164,7 @@ class MainModel(nn.Module):
 
         h = _conv(64, 7, "stem_conv", stride=2, dtype=self.dtype, fan_in=3 * 49)(x)
         h = TorchBatchNorm(momentum=self.momentum, name="stem_bn")(
-            h.astype(jnp.float32), train=train, momentum=momentum
+            h.astype(jnp.promote_types(jnp.float32, self.dtype)), train=train, momentum=momentum
         ).astype(self.dtype)
         h = nn.relu(h)
         h = ResModule(64, 128, name="stem_res1", **kw)(h, train=train, momentum=momentum)
@@ -187,7 +187,7 @@ class MainModel(nn.Module):
                 self.n_joints, 1, f"htmap_{i}", dtype=self.dtype,
                 fan_in=self.features,
             )(ll)
-            heatmaps.append(htmap.astype(jnp.float32))
+            heatmaps.append(htmap.astype(jnp.promote_types(jnp.float32, self.dtype)))
             if i < self.n_stacks - 1:
                 ll_ = _conv(
                     self.features, 1, f"ll_bar_{i}", dtype=self.dtype,

@@ -41,3 +41,38 @@ def test_trajectory_parity_full_budget():
     f32 = by_prec["float32"]
     # Deployment precision, no resync: the BASELINE.md 0.5 mm target.
     assert f32["mpjpe_gap_mm"] < 0.5
+
+
+def test_hourglass_trajectory_parity_full_budget():
+    """Companion harness for the hourglass trainer: reference loop semantics
+    (sum-of-stacks MSE, clip(1), RMSprop) + the FULL reference eval protocol
+    (BN reset + cumulative recalibration + flip TTA + argmax + PCKh)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "benchmarks", "parity_budget_hourglass.py")],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3000,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-4000:])
+    results = [
+        json.loads(line)
+        for line in proc.stdout.splitlines()
+        if line.startswith("{")
+    ]
+    by_prec = {r["precision"]: r for r in results}
+    assert set(by_prec) == {"float64", "float32"}
+
+    f64 = by_prec["float64"]
+    # Epoch-resynced f64 lockstep through a resume boundary; the final
+    # reference-protocol PCKh must agree exactly (tol = ~2 argmax ties).
+    assert f64["steps"] >= 18
+    assert f64["max_per_step_loss_rel_diff"] < 1e-6
+    assert f64["pckh_gap"] <= 0.003
+
+    f32 = by_prec["float32"]
+    assert f32["pckh_gap"] <= 0.02
