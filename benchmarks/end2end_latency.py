@@ -15,11 +15,9 @@ Usage (on the TPU): python benchmarks/end2end_latency.py
 """
 from __future__ import annotations
 
-import glob
 import json
 import os
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,50 +26,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from bilinear_tpu.models.end2end import End2End
-from bilinear_tpu.utils.profiling import measure_fn, mix
+from bilinear_tpu.utils.profiling import measure_fn, mix, trace_per_dispatch
 
 
 def trace_latency(fn, arg, k: int = 16):
-    """Mean per-dispatch executable duration from the device plane."""
+    """Mean per-dispatch executable duration from the device plane, via the
+    shared utils/profiling.trace_per_dispatch parser."""
     compiled = jax.jit(fn)
     float(jnp.sum(compiled(arg)[2].astype(jnp.float32)))  # compile
-    tmp = tempfile.mkdtemp(prefix="e2e_lat_")
-    jax.profiler.start_trace(tmp)
-    out = None
-    for _ in range(k):
-        out = compiled(arg)
-    float(jnp.sum(out[2].astype(jnp.float32)))
-    jax.profiler.stop_trace()
-    try:
-        from tensorflow.tsl.profiler.protobuf import xplane_pb2
-    except Exception:
-        return None
-    path = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)
-    if not path:
-        return None
-    xs = xplane_pb2.XSpace()
-    with open(path[0], "rb") as f:
-        xs.ParseFromString(f.read())
-    groups = {}
-    for plane in xs.planes:
-        if plane.name.startswith("/host:"):
-            continue
-        for line in plane.lines:
-            if line.name != "XLA Modules":
-                continue
-            for ev in line.events:
-                name = (
-                    plane.event_metadata[ev.metadata_id].name
-                    if ev.metadata_id in plane.event_metadata
-                    else ""
-                )
-                tot, n = groups.get(name, (0.0, 0))
-                groups[name] = (tot + ev.duration_ps * 1e-12, n + 1)
-    per = {k2: v for k2, v in groups.items() if v[1] == k}
-    if not per:
-        return None
-    total, n = max(per.values(), key=lambda v: v[0])
-    return total / n
+    sec, _info = trace_per_dispatch(lambda: compiled(arg), k=k)
+    return sec
 
 
 def main():

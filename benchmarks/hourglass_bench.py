@@ -48,34 +48,14 @@ def bench_train_step(batch: int = 8, dtype=jnp.bfloat16) -> dict:
         ),
         "valid": jnp.ones((batch, 16), bool),
     }
-    # K steps inside one jit (lax.scan) and difference two K values so the
-    # tunnel's per-dispatch RTT cancels (see utils/profiling.measure_fn).
-    def multi(k):
-        @jax.jit
-        def run(state):
-            def body(s, _):
-                s, loss = trainer._train_step(s, batch_data, jax.random.PRNGKey(1))
-                return s, loss
+    # K steps inside one jit (lax.scan), K-differenced with adaptive sizing
+    # (utils/profiling.measure_step_fn) so per-dispatch RTT cancels.
+    from bilinear_tpu.utils.profiling import measure_step_fn
 
-            s, losses = jax.lax.scan(body, state, None, length=k)
-            return losses[-1]
-
-        return run
-
-    k1, k2 = 2, 10
-    r1, r2 = multi(k1), multi(k2)
-    float(r1(state))  # compile
-    float(r2(state))
-
-    def best(r):
-        b = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(r(state))
-            b = min(b, time.perf_counter() - t0)
-        return b
-
-    dt = (best(r2) - best(r1)) / (k2 - k1)
+    dt = measure_step_fn(
+        trainer._train_step, state, batch_data, jax.random.PRNGKey(1),
+        k1=2, k2=10,
+    )
     return {
         "metric": "hourglass_train_step",
         "batch_size": batch,

@@ -99,32 +99,11 @@ def time_step(batch: int, dtype: str, remat: bool) -> float:
         valid=jnp.ones((batch, 16), bool),
     )
 
-    def multi(k):
-        @jax.jit
-        def run(state):
-            def body(s, _):
-                s, loss = trainer._train_step(s, bd, jax.random.PRNGKey(1))
-                return s, loss
+    from bilinear_tpu.utils.profiling import measure_step_fn
 
-            _, losses = jax.lax.scan(body, state, None, length=k)
-            return losses[-1]
-
-        return run
-
-    k1, k2 = 2, 8
-    r1, r2 = multi(k1), multi(k2)
-    float(r1(state))
-    float(r2(state))
-
-    def best(r):
-        b = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(r(state))
-            b = min(b, time.perf_counter() - t0)
-        return b
-
-    return (best(r2) - best(r1)) / (k2 - k1)
+    return measure_step_fn(
+        trainer._train_step, state, bd, jax.random.PRNGKey(1), k1=2, k2=8
+    )
 
 
 def main(argv=None):

@@ -140,29 +140,12 @@ def main(argv=None):
         "valid": jnp.asarray(resident.valid),
     }
 
-    def multi(k):
-        @jax.jit
-        def run(state):
-            def body(s, _):
-                s, loss = trainer._train_step(s, dev_batch, jax.random.PRNGKey(1))
-                return s, loss
-            _, losses = jax.lax.scan(body, state, None, length=k)
-            return losses[-1]
-        return run
+    from bilinear_tpu.utils.profiling import measure_step_fn
 
-    k1, k2 = 2, 10
-    r1, r2 = multi(k1), multi(k2)
-    float(r1(state)); float(r2(state))  # compile
-
-    def best(r):
-        b = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(r(state))
-            b = min(b, time.perf_counter() - t0)
-        return b
-
-    device_s = (best(r2) - best(r1)) / (k2 - k1)
+    device_s = measure_step_fn(
+        trainer._train_step, state, dev_batch, jax.random.PRNGKey(1),
+        k1=2, k2=10,
+    )
     print(json.dumps({
         "metric": "hourglass_device_step",
         "ms_per_step": round(device_s * 1e3, 2),

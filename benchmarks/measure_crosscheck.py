@@ -24,11 +24,9 @@ Usage: python benchmarks/measure_crosscheck.py [--op matmul|hourglass]
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -36,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from bilinear_tpu.utils.profiling import measure_fn, mix
+from bilinear_tpu.utils.profiling import measure_fn, mix, trace_per_dispatch
 
 
 def build_op(name: str):
@@ -87,57 +85,17 @@ def longrun_estimate(fn, t_est: float, reps: int = 3) -> float:
 
 
 def trace_estimate(fn, k: int = 32) -> tuple:
-    """Average executable duration from a jax.profiler xplane trace.
-
-    Returns (seconds_or_None, how). Sums the longest-total line of
-    executable-run events and divides by the number of dispatches."""
+    """Average executable duration from a jax.profiler xplane trace, via the
+    shared utils/profiling.trace_per_dispatch parser. Returns
+    (seconds_or_None, how)."""
     compiled = jax.jit(lambda eps: jnp.sum(fn(eps)).astype(jnp.float32))
-    import numpy as np
+    float(compiled(jnp.float32(0)))  # compile
+    counter = iter(range(10 ** 9))
 
-    float(compiled(jnp.float32(0)))  # compile outside the trace
-    tmp = tempfile.mkdtemp(prefix="measure_xcheck_")
-    jax.profiler.start_trace(tmp)
-    out = None
-    for i in range(k):
-        out = compiled(jnp.float32(i) * 1e-38)
-    val = float(out)  # force completion before stopping the trace
-    jax.profiler.stop_trace()
-    assert np.isfinite(val)
+    def dispatch():
+        return compiled(jnp.float32(next(counter)) * 1e-38)
 
-    paths = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)
-    if not paths:
-        return None, "no trace file"
-    try:
-        from tensorflow.tsl.profiler.protobuf import xplane_pb2
-    except Exception as e:  # pragma: no cover
-        return None, f"no xplane proto ({e})"
-    xs = xplane_pb2.XSpace()
-    with open(paths[0], "rb") as f:
-        xs.ParseFromString(f.read())
-
-    # Trace lines nest (module + sub-events per dispatch), so group events
-    # by metadata name and prefer a group with exactly one event per
-    # dispatch (count == k); among candidates take the longest total.
-    groups: dict = {}
-    for plane in xs.planes:
-        device = not plane.name.startswith("/host:")
-        for line in plane.lines:
-            for ev in line.events:
-                name = (
-                    plane.event_metadata[ev.metadata_id].name
-                    if ev.metadata_id in plane.event_metadata
-                    else ""
-                )
-                if device or "Executable::Execute" in name:
-                    key = (plane.name, line.name, name)
-                    tot, n = groups.get(key, (0.0, 0))
-                    groups[key] = (tot + ev.duration_ps * 1e-12, n + 1)
-    if not groups:
-        return None, "no executable events in trace"
-    per_dispatch = {kk: v for kk, v in groups.items() if v[1] == k}
-    pool = per_dispatch or groups
-    key, (total, n) = max(pool.items(), key=lambda kv: kv[1][0])
-    return total / n, f"{n} x {key[2]} on {key[0]}/{key[1]}"
+    return trace_per_dispatch(dispatch, k=k, include_host_execute=True)
 
 
 def main(argv=None):

@@ -35,6 +35,8 @@ import sys
 import tempfile
 from typing import Optional
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _load_reference_module(relpath: str, name: str):
     """Import one reference file as an oracle without executing its package
@@ -250,7 +252,10 @@ def run_parity(
                 },
                 os.path.join(ckpt_dir, "1.torchsave"),
             )
-            trainer = BilinearTrainer(batch_size=batch, dropout=0.0)
+            trainer = BilinearTrainer(
+                batch_size=batch, dropout=0.0,
+                dtype=jnp.float64 if f64 else jnp.float32,
+            )
             template = trainer.init_state(jax.random.PRNGKey(99))
             state = restore_state(template, load_checkpoint(ckpt_dir, 1))
             step_fn = jax.jit(trainer._train_step)

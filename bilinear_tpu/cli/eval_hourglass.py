@@ -62,7 +62,9 @@ def main(argv=None) -> None:
         logger.info("Finalizing BN statistics over the train split (one-time)")
         train_pipe = MPIIHostPipeline(
             MPIIAnnotations(cfg.data_dir, Task.Train), cfg.batch_size, pad=True,
-            transport=cfg.transport,
+            transport=cfg.transport, canvas=cfg.canvas,
+            cache_dir=os.path.join(cfg.data_dir, "canvas_cache", "train")
+            if cfg.cache_canvases else None,
         )
         stats = recalibrate(
             trainer.model, state.params, state.batch_stats, train_pipe

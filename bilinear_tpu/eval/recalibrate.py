@@ -50,8 +50,14 @@ def recalibrate(model, params, batch_stats, pipeline, max_batches=None):
     for i, batch in enumerate(pipeline.epoch(0)):
         if max_batches is not None and i >= max_batches:
             break
+        # Zero-padded tail samples (pad=True pipelines) must not enter the
+        # running statistics — the reference's recalibration pass iterates
+        # only real samples, and with cumulative momentum every batch gets
+        # equal weight (matching the reference's short final DataLoader
+        # batch). One extra compile for the odd tail shape.
+        n = batch.images.shape[0] - batch.pad
         stats = step(
-            params, stats, batch.images, batch.centers, batch.scales,
-            batch.keypoints, batch.valid,
+            params, stats, batch.images[:n], batch.centers[:n],
+            batch.scales[:n], batch.keypoints[:n], batch.valid[:n],
         )
     return stats

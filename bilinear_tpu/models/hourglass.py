@@ -61,7 +61,7 @@ class LightConv(nn.Module):
     def __call__(self, x, *, train: bool, momentum="__unset__"):
         if momentum == "__unset__":
             momentum = self.momentum
-        h = TorchBatchNorm(momentum=self.momentum, name="bn")(
+        h = TorchBatchNorm(momentum=self.momentum, dtype=jnp.promote_types(jnp.float32, self.dtype), name="bn")(
             x.astype(jnp.promote_types(jnp.float32, self.dtype)), train=train, momentum=momentum
         ).astype(self.dtype)
         h = nn.relu(h)

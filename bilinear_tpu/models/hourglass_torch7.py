@@ -66,7 +66,7 @@ class ResModule(nn.Module):
         half = self.out_channels // 2
 
         def bn(name, h):
-            return TorchBatchNorm(momentum=self.momentum, name=name)(
+            return TorchBatchNorm(momentum=self.momentum, dtype=jnp.promote_types(jnp.float32, self.dtype), name=name)(
                 h.astype(jnp.promote_types(jnp.float32, self.dtype)), train=train, momentum=momentum
             ).astype(self.dtype)
 
@@ -137,7 +137,7 @@ class Lin(nn.Module):
             momentum = self.momentum
         x = _conv(self.features, 1, "conv", dtype=self.dtype,
                   fan_in=x.shape[-1])(x)
-        x = TorchBatchNorm(momentum=self.momentum, name="bn")(
+        x = TorchBatchNorm(momentum=self.momentum, dtype=jnp.promote_types(jnp.float32, self.dtype), name="bn")(
             x.astype(jnp.promote_types(jnp.float32, self.dtype)), train=train, momentum=momentum
         ).astype(self.dtype)
         return nn.relu(x)
@@ -163,7 +163,7 @@ class MainModel(nn.Module):
         kw = dict(momentum=self.momentum, dtype=self.dtype)
 
         h = _conv(64, 7, "stem_conv", stride=2, dtype=self.dtype, fan_in=3 * 49)(x)
-        h = TorchBatchNorm(momentum=self.momentum, name="stem_bn")(
+        h = TorchBatchNorm(momentum=self.momentum, dtype=jnp.promote_types(jnp.float32, self.dtype), name="stem_bn")(
             h.astype(jnp.promote_types(jnp.float32, self.dtype)), train=train, momentum=momentum
         ).astype(self.dtype)
         h = nn.relu(h)

@@ -15,6 +15,7 @@ The reference's only instrumentation is a tqdm loss postfix
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Callable
 
@@ -103,10 +104,7 @@ def measure_fn(
 
     Cross-validation: benchmarks/measure_crosscheck.py checks this harness
     against jax.profiler trace durations and an RTT-amortized long run."""
-    return _measure(fn, k1, k2, reps, target_s=0.5)
 
-
-def _measure(fn, k1, k2, reps, target_s, _max_iters: int = 2_000_000):
     def loop(k):
         @jax.jit
         def run():
@@ -117,6 +115,36 @@ def _measure(fn, k1, k2, reps, target_s, _max_iters: int = 2_000_000):
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
         return run
+
+    return _adaptive_diff(loop, k1, k2, reps, target_s=0.5)
+
+
+def measure_step_fn(step_fn, state, *args, k1: int = 2, k2: int = 8,
+                    reps: int = 3) -> float:
+    """Seconds per call of a state-carrying train step
+    ``step_fn(state, *args) -> (state, scalar)``, K-differenced via
+    lax.scan. The state dependency chains iterations, so nothing hoists —
+    this is the one legitimate alternative to measure_fn's eps contract
+    (which a threaded TrainState cannot satisfy). Shares the adaptive
+    loop-sizing with measure_fn (sub-ms steps would otherwise read 2-3x off
+    against tunnel-RTT jitter)."""
+
+    def loop(k):
+        @jax.jit
+        def run():
+            def body(s, _):
+                s, out = step_fn(s, *args)
+                return s, out
+            _, outs = jax.lax.scan(body, state, None, length=k)
+            return jnp.sum(jnp.asarray(outs[-1], jnp.float32))
+        return run
+
+    return _adaptive_diff(loop, k1, k2, reps, target_s=0.5)
+
+
+def _adaptive_diff(loop, k1, k2, reps, target_s, _max_iters: int = 2_000_000):
+    """Difference loop(k2)-loop(k1) wall times; re-size k2 after a pilot so
+    the differenced signal is >= target_s (RTT-jitter safe)."""
 
     def best(r):
         b = float("inf")
@@ -136,10 +164,65 @@ def _measure(fn, k1, k2, reps, target_s, _max_iters: int = 2_000_000):
         return (best(run_hi) - t1) / (k_hi - k1)
 
     t = diff_estimate(k2)
-    # Re-size so the differenced signal is >= target_s (RTT jitter safe).
     if (k2 - k1) * t < target_s:
         t_pilot = max(t, t1 / max(k1, 1) * 0.05, 1e-7)
         k2_big = min(k1 + int(target_s / t_pilot) + 1, _max_iters)
         if k2_big > k2:
             t = diff_estimate(k2_big)
     return t
+
+
+def trace_per_dispatch(dispatch, k: int = 16, include_host_execute: bool = False):
+    """Per-dispatch duration from a jax.profiler xplane trace.
+
+    ``dispatch()`` must run ONE already-compiled device program and return
+    its output (compile before calling this). Returns (seconds_or_None,
+    info). Events are grouped by (plane, line, metadata-name); groups with
+    exactly one event per dispatch are preferred (trace lines nest module +
+    sub-events), then the longest total wins. Parses the .xplane.pb proto
+    directly — the tensorboard-plugin converter is broken in this image."""
+    import glob
+    import tempfile
+
+    out = None
+    tmp = tempfile.mkdtemp(prefix="trace_dispatch_")
+    jax.profiler.start_trace(tmp)
+    for _ in range(k):
+        out = dispatch()
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.sum(jnp.asarray(leaf, jnp.float32)))  # force completion
+    jax.profiler.stop_trace()
+
+    paths = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)
+    if not paths:
+        return None, "no trace file"
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except Exception as e:  # pragma: no cover
+        return None, f"no xplane proto ({e})"
+    xs = xplane_pb2.XSpace()
+    with open(paths[0], "rb") as f:
+        xs.ParseFromString(f.read())
+
+    groups = {}
+    for plane in xs.planes:
+        device = not plane.name.startswith("/host:")
+        for line in plane.lines:
+            for ev in line.events:
+                name = (
+                    plane.event_metadata[ev.metadata_id].name
+                    if ev.metadata_id in plane.event_metadata
+                    else ""
+                )
+                if device or (
+                    include_host_execute and "Executable::Execute" in name
+                ):
+                    key = (plane.name, line.name, name)
+                    tot, n = groups.get(key, (0.0, 0))
+                    groups[key] = (tot + ev.duration_ps * 1e-12, n + 1)
+    if not groups:
+        return None, "no executable events in trace"
+    per_dispatch = {kk: v for kk, v in groups.items() if v[1] == k}
+    pool = per_dispatch or groups
+    key, (total, n) = max(pool.items(), key=lambda kv: kv[1][0])
+    return total / n, f"{n} x {key[2]} on {key[0]}/{key[1]}"

@@ -34,8 +34,10 @@ def test_trajectory_parity_full_budget():
     # Semantic proof: epoch-resynced f64 lockstep tracks at the noise floor
     # through >=2 epochs, a resume boundary, and both LR-fire points.
     assert f64["steps"] >= 60
-    assert f64["max_step_loss_rel_diff"] < 1e-6
-    assert f64["mpjpe_gap_mm"] < 1e-2
+    # True f64 noise floor (round-2 fix: the resume-boundary trainer now
+    # keeps dtype=float64; measured 1.3e-15).
+    assert f64["max_step_loss_rel_diff"] < 1e-12
+    assert f64["mpjpe_gap_mm"] < 1e-5
     assert f64["resume_boundary"] and len(f64["lr_fires"]) == 2
 
     f32 = by_prec["float32"]
