@@ -88,14 +88,26 @@ def _flip_swap():
 
 
 def run_parity(
-    n_train: int = 72,  # 8*8 + 8 -> trailing partial batch at batch 8
+    n_train: int = 76,  # 9 full batches + a trailing partial batch of 4
     n_valid: int = 48,
     epochs: int = 2,
     batch: int = 8,
     res: int = 64,  # input crop size (heatmaps res//4, reference ratio)
     seed: int = 0,
     precision: str = "float64",
-    loss_rtol: Optional[float] = None,
+    variant: str = "torch7",  # 'torch7' (train_hourglass.py) or 'preact'
+    # (train_hourglass_FT.py trains model/hourglass.py's StackedHourglass)
+    loss_rtol: Optional[float] = None,  # gate on the FIRST step after each
+    # state sync (systematic-error detector at the fp noise floor; later
+    # steps amplify the floor chaotically at a model-dependent rate — the
+    # preact variant measures ~10x/step vs ~3.5x for torch7, with forward
+    # passes verified identical to 2e-16)
+    envelope_rtol: Optional[float] = None,  # loose bound on ALL steps.
+    # Control experiment for the envelope scale: two REFERENCE-only (torch
+    # vs torch) runs differing by a 1e-13 param perturbation diverge to
+    # 1.7e-2 by step 8 on the preact model — the architecture itself
+    # amplifies the fp noise floor that fast, so only first-step-after-sync
+    # and the resynced final eval are meaningful tight gates.
     pckh_tol: float = 0.02,
     verbose: bool = True,
 ) -> dict:
@@ -115,30 +127,50 @@ def run_parity(
         restore_state,
         save_checkpoint,
     )
+    from bilinear_tpu.models.hourglass import StackedHourglass
     from bilinear_tpu.models.hourglass_torch7 import MainModel
     from bilinear_tpu.ops.heatmap import render_heatmaps
-    from bilinear_tpu.utils.torch_compat import hourglass_torch7_from_torch
+    from bilinear_tpu.utils.torch_compat import (
+        hourglass_from_torch,
+        hourglass_torch7_from_torch,
+    )
 
     hm = res // 4
     dtype = jnp.float64 if precision == "float64" else jnp.float32
     tdtype = torch.float64 if precision == "float64" else torch.float32
 
     # ---- tiny reference-shaped config ------------------------------------
-    ref = _load_reference_module("model/hourglass_torch7.py", "ref_hg_budget")
-    ref.CONFIG.nStacks = 2
-    ref.CONFIG.nFeatures = 16
-    ref.CONFIG.nDepth = 2
     torch.manual_seed(seed)
-    tm = ref.MainModel().to(tdtype)
+    if variant == "torch7":
+        ref = _load_reference_module(
+            "model/hourglass_torch7.py", "ref_hg_budget"
+        )
+        ref.CONFIG.nStacks = 2
+        ref.CONFIG.nFeatures = 16
+        ref.CONFIG.nDepth = 2
+        tm = ref.MainModel().to(tdtype)
+        ours = MainModel(n_stacks=2, features=16, depth=2, dtype=dtype)
+        convert = lambda sd: hourglass_torch7_from_torch(sd, 2, 2)
+    else:  # preact — the model train_hourglass_FT.py fine-tunes
+        ref = _load_reference_module("model/hourglass.py", "ref_hg_pre_budget")
+        tm = ref.StackedHourglass(
+            stacks=2, joints=16, out_channels=16, compression_time=2
+        ).to(tdtype)
+        ours = StackedHourglass(
+            stacks=2, joints=16, out_channels=16, compression_time=2,
+            dtype=dtype,
+        )
+        convert = lambda sd: hourglass_from_torch(
+            sd, n_stacks=2, compression_time=2
+        )
     tm.train()
     topt = torch.optim.RMSprop(tm.parameters(), lr=2.5e-4)
     crit = torch.nn.MSELoss()
 
-    ours = MainModel(n_stacks=2, features=16, depth=2, dtype=dtype)
     tx = hourglass_optimizer(2.5e-4)
 
     def sync_from_torch():
-        params, stats = hourglass_torch7_from_torch(tm.state_dict(), 2, 2)
+        params, stats = convert(tm.state_dict())
         params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
         stats = jax.tree.map(
             lambda x: jnp.asarray(
@@ -201,6 +233,7 @@ def run_parity(
     # ---- lockstep training ------------------------------------------------
     ckpt_dir = tempfile.mkdtemp(prefix="hg_parity_ckpt_")
     max_rel = 0.0
+    max_first_rel = 0.0
     n_batches = -(-n_train // batch)
     step_i = 0
     for epoch in range(1, epochs + 1):
@@ -223,8 +256,16 @@ def run_parity(
             step_i += 1
             rel = abs(float(tl.detach()) - float(jl)) / max(abs(float(tl)), 1e-12)
             max_rel = max(max_rel, rel)
-            if loss_rtol is not None:
-                assert rel < loss_rtol, (
+            if b == 0:  # first step computed from freshly-synced state
+                max_first_rel = max(max_first_rel, rel)
+                if loss_rtol is not None:
+                    assert rel < loss_rtol, (
+                        f"epoch {epoch} first step {step_i}: torch "
+                        f"{float(tl):.12g} vs jax {float(jl):.12g} "
+                        f"(rel {rel:.3g})"
+                    )
+            elif envelope_rtol is not None:
+                assert rel < envelope_rtol, (
                     f"epoch {epoch} step {step_i}: torch {float(tl):.12g} "
                     f"vs jax {float(jl):.12g} (rel {rel:.3g})"
                 )
@@ -241,7 +282,12 @@ def run_parity(
             sd = {k: v.clone() for k, v in tm.state_dict().items()}
             od = topt.state_dict()
             torch.manual_seed(seed + 99)
-            tm2 = ref.MainModel().to(tdtype)
+            if variant == "torch7":
+                tm2 = ref.MainModel().to(tdtype)
+            else:
+                tm2 = ref.StackedHourglass(
+                    stacks=2, joints=16, out_channels=16, compression_time=2
+                ).to(tdtype)
             tm2.load_state_dict(sd)
             tm = tm2
             tm.train()
@@ -330,8 +376,10 @@ def run_parity(
     gap = abs(pckh_ours - pckh_ref)
     result = {
         "precision": precision,
+        "variant": variant,
         "steps": step_i,
         "max_per_step_loss_rel_diff": max_rel,
+        "max_first_step_rel_diff": max_first_rel,
         "pckh_ref": pckh_ref,
         "pckh_ours": pckh_ours,
         "pckh_gap": gap,
@@ -348,8 +396,10 @@ if __name__ == "__main__":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    # f64 leg ends resynced, so the full eval protocol (reset + cumulative
+    # f64 legs end resynced, so the full eval protocol (reset + cumulative
     # recal + flip TTA + argmax + PCKh) must agree almost exactly — tol
     # allows at most ~2 argmax near-tie flips out of ~690 scored joints.
-    run_parity(precision="float64", loss_rtol=1e-6, pckh_tol=0.003)
-    run_parity(precision="float32")
+    for variant in ("torch7", "preact"):
+        run_parity(precision="float64", variant=variant,
+                   loss_rtol=1e-9, envelope_rtol=0.2, pckh_tol=0.003)
+        run_parity(precision="float32", variant=variant)

@@ -66,15 +66,27 @@ def test_hourglass_trajectory_parity_full_budget():
         for line in proc.stdout.splitlines()
         if line.startswith("{")
     ]
-    by_prec = {r["precision"]: r for r in results}
-    assert set(by_prec) == {"float64", "float32"}
-
-    f64 = by_prec["float64"]
-    # Epoch-resynced f64 lockstep through a resume boundary; the final
-    # reference-protocol PCKh must agree exactly (tol = ~2 argmax ties).
-    assert f64["steps"] >= 18
-    assert f64["max_per_step_loss_rel_diff"] < 1e-6
-    assert f64["pckh_gap"] <= 0.003
-
-    f32 = by_prec["float32"]
-    assert f32["pckh_gap"] <= 0.02
+    legs = {(r["precision"], r["variant"]): r for r in results}
+    # Both reference model families: torch7 (train_hourglass.py) and
+    # preact (train_hourglass_FT.py's StackedHourglass).
+    assert set(legs) == {
+        ("float64", "torch7"), ("float32", "torch7"),
+        ("float64", "preact"), ("float32", "preact"),
+    }
+    for variant in ("torch7", "preact"):
+        f64 = legs[("float64", variant)]
+        # Epoch-resynced f64 lockstep through a resume boundary. The first
+        # step after every sync must sit at the f64 noise floor (systematic
+        # formula errors land here); later steps amplify the floor at a
+        # model-dependent chaotic rate (preact ~10x/step) under a loose
+        # envelope, and the final reference-protocol PCKh must agree
+        # exactly (tol = ~2 argmax ties).
+        assert f64["steps"] >= 18
+        assert f64["max_first_step_rel_diff"] < 1e-9, variant
+        # Chaos envelope (control: torch-vs-torch with a 1e-13 perturbation
+        # reaches 1.7e-2 by step 8 on preact).
+        assert f64["max_per_step_loss_rel_diff"] < (
+            1e-3 if variant == "torch7" else 0.2
+        ), variant
+        assert f64["pckh_gap"] <= 0.003, variant
+        assert legs[("float32", variant)]["pckh_gap"] <= 0.02, variant
