@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
@@ -23,11 +24,20 @@ class TrainState(struct.PyTreeNode):
 
     @classmethod
     def create(cls, params, batch_stats, tx: optax.GradientTransformation):
-        return cls(
+        state = cls(
             params=params,
             batch_stats=batch_stats,
             opt_state=tx.init(params),
             step=jnp.asarray(1, jnp.int32),
+        )
+        # De-alias: identical zero/one-initialized leaves (optimizer
+        # accumulators, fresh BN stats) can share one deduped device buffer;
+        # a donating train step would then "donate the same buffer twice"
+        # (Execute() INVALID_ARGUMENT). One-time copy at creation; step
+        # OUTPUTS are always distinct buffers, so only the initial state
+        # needs this.
+        return jax.tree.map(
+            lambda a: a.copy() if isinstance(a, jax.Array) else a, state
         )
 
     def apply_updates(self, tx, grads):

@@ -86,6 +86,9 @@ class BilinearTrainer:
         bs = self.batch_size
         n_steps = n // bs
 
+        # No donation here: the epoch program dispatches once per epoch, so
+        # the state copy it would save is negligible, and restore_state-built
+        # states can alias leaves (same shapes loaded from one buffer pool).
         @jax.jit
         def epoch_fn(state: TrainState, x, y, rng):
             perm_key, drop_key = jax.random.split(rng)

@@ -116,5 +116,7 @@ class End2EndTrainer:
     @property
     def train_step(self):
         if self._step is None:
-            self._step = jax.jit(self._train_step)
+            # Donated state: no full-state copy per dispatch (see
+            # train/hourglass.py train_step).
+            self._step = jax.jit(self._train_step, donate_argnums=0)
         return self._step

