@@ -1,6 +1,11 @@
-"""Benchmark: batched 2D->3D lifting inference throughput on one TPU chip.
+"""Benchmark: the framework's headline numbers on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Line 1 (the line the driver parses): batched 2D->3D lifting inference
+throughput, {"metric", "value", "unit", "vs_baseline"}.
+Line 2: hourglass fused train step (batch 8 bf16) ms/step + MFU.
+Line 3: end-to-end fused frame->3D program, batch-1 dispatch latency.
+Extra lines are failure-isolated: any error there prints a diagnostic line
+without touching line 1.
 
 Baseline: the reference implementation's lifting throughput — the torch-CPU
 BilinearUnit eval forward, measured in this image at 10_100 poses/sec
@@ -11,11 +16,13 @@ Timing method: the tunneled TPU platform here does not synchronize on
 block_until_ready — only a host fetch forces execution — and carries a
 ~25 ms RTT per fetch. So we jit K forward passes in a fori_loop ending in a
 scalar fetch, time two different K, and difference them: per-pass time is
-(t_K2 - t_K1)/(K2 - K1), with the RTT and dispatch overhead cancelled.
+(t_K2 - t_K1)/(K2 - K1), with the RTT and dispatch overhead cancelled
+(utils/profiling.py::measure_fn / measure_step_fn).
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -112,7 +119,119 @@ def main() -> None:
                     poses_per_sec / TORCH_CPU_BASELINE_POSES_PER_SEC, 2
                 ),
             }
+        ),
+        flush=True,
+    )
+
+    if "--lifting-only" in sys.argv:
+        return
+    for extra in (bench_hourglass_step, bench_end2end_latency):
+        try:
+            extra()
+        except Exception as e:  # never let extras break line 1's contract
+            print(
+                json.dumps({"metric": extra.__name__, "error": str(e)[-300:]}),
+                flush=True,
+            )
+
+
+HOURGLASS_STEP_GFLOP_FALLBACK = 1021.0  # XLA cost analysis, bf16 batch 8
+# (benchmarks/RESULTS.md MFU table); recomputed live when the CPU lowering
+# subprocess succeeds.
+PEAK_BF16 = 197e12  # TPU v5e bf16 MXU peak
+
+
+def bench_hourglass_step() -> None:
+    """Fused hourglass train step (preprocess + fwd/bwd + clip + RMSprop),
+    reference protocol batch 8, bf16 — the number that characterizes
+    detector training (/root/reference/train_hourglass.py:63-95)."""
+    import numpy as np
+
+    from bilinear_tpu.train.hourglass import HourglassTrainer
+    from bilinear_tpu.utils.profiling import measure_step_fn
+
+    batch = 8
+    trainer = HourglassTrainer(batch_size=batch, dtype=jnp.bfloat16)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    bd = dict(
+        images=jnp.asarray(rng.rand(batch, 512, 512, 3).astype(np.float32)),
+        centers=jnp.asarray(np.full((batch, 2), 256.0, np.float32)),
+        scales=jnp.asarray(np.full((batch,), 1.0, np.float32)),
+        keypoints=jnp.asarray(
+            rng.uniform(180, 330, (batch, 16, 2)).astype(np.float32)
+        ),
+        valid=jnp.ones((batch, 16), bool),
+    )
+    t = measure_step_fn(
+        trainer._train_step, state, bd, jax.random.PRNGKey(1), k1=2, k2=8
+    )
+
+    gflop = HOURGLASS_STEP_GFLOP_FALLBACK
+    flops_live = False
+    try:  # live HLO FLOP count (CPU lowering subprocess; slow on 1-core box)
+        repo = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, os.path.join(repo, "benchmarks"))
+        import hourglass_mfu
+
+        gflop = hourglass_mfu.hlo_flops(batch, "bfloat16", False, repo)[
+            "step_flops"
+        ] / 1e9
+        flops_live = True
+    except Exception:
+        pass
+
+    mfu = gflop * 1e9 / t / PEAK_BF16
+    print(
+        json.dumps(
+            {
+                "metric": "hourglass_train_step_ms",
+                "value": round(t * 1e3, 2),
+                "unit": "ms (batch 8, bf16, fused step)",
+                "images_per_sec": round(batch / t, 1),
+                "step_gflop": round(gflop, 1),
+                "step_gflop_live": flops_live,
+                "mfu": round(mfu, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_end2end_latency() -> None:
+    """Batch-1 dispatch latency of the fused frame->3D program (the webcam
+    path the reference sketches but cannot run, model/end2end.py:21-43)."""
+    from bilinear_tpu.models.end2end import End2End
+    from bilinear_tpu.utils.profiling import measure_fn, mix, trace_per_dispatch
+
+    model = End2End(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    mean_p, std_p = jnp.zeros(32), jnp.ones(32)
+    x = jax.random.uniform(rng, (1, 256, 256, 3), jnp.float32)
+    centers = jnp.full((1, 2), 128.0)
+    scales = jnp.full((1,), 1.28)
+    variables = model.init(rng, x, centers, scales, mean_p, std_p, train=False)
+
+    def fwd(x):
+        return model.apply(
+            variables, x, centers, scales, mean_p, std_p, train=False
         )
+
+    compiled = jax.jit(fwd)
+    float(jnp.sum(compiled(x)[2].astype(jnp.float32)))  # compile
+    lat, _info = trace_per_dispatch(lambda: compiled(x), k=16)
+    t = measure_fn(lambda eps: fwd(mix(x, eps))[2], k1=2, k2=10)
+    print(
+        json.dumps(
+            {
+                "metric": "end2end_b1_latency_ms",
+                "value": None if lat is None else round(lat * 1e3, 3),
+                "unit": "ms (device-plane trace, batch 1)",
+                "throughput_ms": round(t * 1e3, 3),
+                "fps": round(1.0 / t, 1),
+            }
+        ),
+        flush=True,
     )
 
 

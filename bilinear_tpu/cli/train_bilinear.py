@@ -15,17 +15,25 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bilinear_tpu.config import BilinearConfig, parse_config
 from bilinear_tpu.data.h36m import Task, load_h36m
 from bilinear_tpu.io.checkpoint import resume_or_init, save_checkpoint
 from bilinear_tpu.io.logger import get_logger
 from bilinear_tpu.io.tensorboard import TBWriter
+from bilinear_tpu.parallel import mesh as mesh_lib
 from bilinear_tpu.train.bilinear import BilinearTrainer
 
 
 def main(argv=None) -> None:
     cfg = parse_config(BilinearConfig(), argv)
+    # Multi-host: --coordinator host:port --num-processes N --process-id i on
+    # every process. The bins are loaded in full everywhere; the dataset
+    # arrays become global 'data'-sharded arrays and the whole-epoch program
+    # runs DP over the global mesh (gradient psum over ICI/DCN).
+    distributed = mesh_lib.maybe_init_distributed(cfg)
+    mesh = mesh_lib.make_mesh() if distributed else None
     logger, log_dir, comment = get_logger(cfg.comment, cfg.save_root)
     parameter_dir = os.path.join(log_dir, "parameter")
 
@@ -39,24 +47,39 @@ def main(argv=None) -> None:
 
     splits = load_h36m(cfg.data_dir, cfg.protocol)
     train = splits[Task.Train]
-    x = jnp.asarray(train.part)
-    y = jnp.asarray(train.s)
+    if mesh is not None:
+        x, y = mesh_lib.global_from_host(mesh, (train.part, train.s))
+    else:
+        x = jnp.asarray(train.part)
+        y = jnp.asarray(train.s)
 
     trainer = BilinearTrainer(
         batch_size=cfg.batch_size,
+        mesh=mesh,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )
     template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     state, start_epoch = resume_or_init(template, parameter_dir)
+    if distributed:
+        state = jax.device_get(state)  # numpy leaves == replicated under jit
     if start_epoch:
         logger.info("Resumed from epoch %d (step %d)", start_epoch, int(state.step))
 
+    primary = jax.process_index() == 0
     writer = TBWriter(log_dir)
 
-    def on_epoch_end(epoch: int, st, last_loss: float):
+    def on_epoch_end(epoch: int, st, losses):
+        if not primary:
+            return
         save_checkpoint(parameter_dir, epoch, st)
-        writer.scalar("BI/loss", last_loss, int(st.step))
-        logger.info("Epoch %d saved (loss: %f)", epoch, last_loss)
+        # Per-step scalars, matching the reference's granularity
+        # (train_bilinear.py:86). The loss array is already on host after
+        # one fetch; steps for this epoch end at st.step.
+        loss_arr = np.asarray(losses, np.float32)
+        first_step = int(st.step) - len(loss_arr) + 1
+        for i, loss in enumerate(loss_arr):
+            writer.scalar("BI/loss", float(loss), first_step + i)
+        logger.info("Epoch %d saved (loss: %f)", epoch, float(loss_arr[-1]))
 
     import contextlib
 
@@ -76,7 +99,6 @@ def main(argv=None) -> None:
         )
     jax.block_until_ready(state.params)
     dt = time.time() - t0
-    n_steps = cfg.epochs_per_run * -(-len(train) // cfg.batch_size)
     logger.info(
         "%d epochs in %.1fs (%.0f poses/sec)",
         cfg.epochs_per_run,

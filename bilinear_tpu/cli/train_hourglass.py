@@ -19,11 +19,17 @@ from bilinear_tpu.io.checkpoint import resume_or_init, save_checkpoint
 from bilinear_tpu.io.logger import get_logger
 from bilinear_tpu.io.tensorboard import TBWriter
 from bilinear_tpu.io.visualize import heatmap_overlay
+from bilinear_tpu.parallel import mesh as mesh_lib
 from bilinear_tpu.train.hourglass import HourglassTrainer, preprocess_batch
 
 
 def main(argv=None) -> None:
     cfg = parse_config(HourglassConfig(), argv)
+    # Multi-host: --coordinator host:port --num-processes N --process-id i on
+    # every process; training then runs DP over the global device mesh with
+    # each process feeding its contiguous slice of every batch.
+    distributed = mesh_lib.maybe_init_distributed(cfg)
+    mesh = mesh_lib.make_mesh() if distributed else None
     logger, log_dir, comment = get_logger(cfg.comment, cfg.save_root)
     parameter_dir = os.path.join(log_dir, "parameter")
 
@@ -46,6 +52,7 @@ def main(argv=None) -> None:
         variant=cfg.variant,
         batch_size=cfg.batch_size,
         learning_rate=cfg.learning_rate,
+        mesh=mesh,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
         canvas=cfg.canvas,
         n_stacks=cfg.n_stacks,
@@ -54,9 +61,14 @@ def main(argv=None) -> None:
     )
     template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     state, start_epoch = resume_or_init(template, parameter_dir)
+    if distributed:
+        # Host (numpy) leaves are treated as replicated by jit over the
+        # global mesh; process-local device arrays would not be addressable.
+        state = jax.device_get(state)
     if start_epoch:
         logger.info("Resumed from epoch %d (step %d)", start_epoch, int(state.step))
 
+    primary = jax.process_index() == 0
     writer = TBWriter(log_dir)
     rng = jax.random.PRNGKey(cfg.seed + 1)
     for epoch in range(start_epoch + 1, start_epoch + cfg.epochs_per_run + 1):
@@ -64,10 +76,13 @@ def main(argv=None) -> None:
             state, pipeline, epoch, jax.random.fold_in(rng, epoch),
             log_every=50, logger=logger, group=cfg.steps_per_dispatch,
         )
-        save_checkpoint(parameter_dir, epoch, state)
+        if primary:
+            save_checkpoint(parameter_dir, epoch, state)
         loss = float(loss)
         writer.scalar("HG/loss", loss, int(state.step))
         logger.info("Epoch %d saved (loss: %f)", epoch, loss)
+        if not primary:
+            continue
 
         # Heatmap-overlay TB images, as in train_hourglass.py:84-89.
         batch = next(iter(pipeline.epoch(epoch)))
@@ -77,7 +92,12 @@ def main(argv=None) -> None:
             jnp.asarray(batch.keypoints), jnp.asarray(batch.valid),
             augment=False,
         )
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # device_get -> numpy so this stays a process-local program (in
+        # distributed mode only process 0 runs it; global-array inputs would
+        # require all processes to participate).
+        variables = jax.device_get(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
         pred = trainer.model.apply(variables, crops, train=False)
         tgt = jnp.transpose(targets, (0, 2, 3, 1))[None]
         writer.image(f"{comment}/train/ground-truth",

@@ -39,6 +39,13 @@ class BilinearConfig:
     seed: int = 0
     dtype: str = "float32"  # "bfloat16" for MXU-native training
     profile: bool = False  # write a jax.profiler trace under the run dir
+    # Multi-host bring-up (SURVEY.md §5; parallel/mesh.py::init_distributed).
+    # Set --coordinator host:port plus --num-processes/--process-id on every
+    # process; jax.devices() then spans the full slice and training runs DP
+    # over the global mesh.
+    coordinator: str = ""
+    num_processes: int = 1
+    process_id: int = 0
 
 
 @dataclass
@@ -69,6 +76,10 @@ class HourglassConfig:
     n_stacks: int = 8
     features: int = 256
     depth: int = 4
+    # Multi-host bring-up (see BilinearConfig.coordinator).
+    coordinator: str = ""
+    num_processes: int = 1
+    process_id: int = 0
 
 
 @dataclass

@@ -53,15 +53,16 @@ class CanvasBatch:
 
 def record_to_canvas(
     image: Image.Image, record: MPIIRecord, canvas: int, as_u8: bool = False
-) -> tuple[np.ndarray, np.ndarray, float, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, float, np.ndarray, float]:
     """Pre-crop the needed region onto a (canvas, canvas) array; return
-    (canvas_img, new_center, new_scale, new_keypoints). ``as_u8`` keeps the
-    canvas uint8 (the wire format of the u8 transport path — [0,1] scaling
-    then happens on device inside crop_batch); default is float32 in [0,1],
-    value-identical after that device scaling."""
+    (canvas_img, new_center, new_scale, new_keypoints, new_head). ``as_u8``
+    keeps the canvas uint8 (the wire format of the u8 transport path — [0,1]
+    scaling then happens on device inside crop_batch); default is float32 in
+    [0,1], value-identical after that device scaling."""
     center = record.center.astype(np.float64).copy()
     scale = float(record.scale)
     keypoints = record.keypoints.astype(np.float64).copy()
+    head = float(record.head)
 
     half = 100.0 * scale * REGION_MARGIN
     if 2 * half > canvas:
@@ -72,6 +73,10 @@ def record_to_canvas(
         center /= f
         scale /= f
         keypoints /= f
+        # PCKh distances are computed in canvas space (eval/pckh.py), so the
+        # head length must shrink with every other annotation — leaving it in
+        # original-image units inflates PCKh by f for downscaled records.
+        head /= f
         half /= f
 
     ul = np.floor(center - half).astype(np.int64)
@@ -104,7 +109,7 @@ def record_to_canvas(
     offset = ul.astype(np.float64)
     return region, (center - offset).astype(np.float32), float(scale), (
         keypoints - offset
-    ).astype(np.float32)
+    ).astype(np.float32), head
 
 
 class MPIIHostPipeline:
@@ -165,13 +170,19 @@ class MPIIHostPipeline:
             return
         os.makedirs(self.cache_dir, exist_ok=True)
         n = len(self.annotations)
-        tag = f"canvas{self.canvas}_n{n}"
+        # v2: heads are stored in canvas space (scaled with the downscale
+        # factor) — the tag bump invalidates v1 caches with unscaled heads.
+        tag = f"canvas{self.canvas}_n{n}_v2"
         img_path = os.path.join(self.cache_dir, f"{tag}.u8")
         meta_path = os.path.join(self.cache_dir, f"{tag}.npz")
         shape = (n, self.canvas, self.canvas, 3)
         if not (os.path.exists(img_path) and os.path.exists(meta_path)):
+            # Unique tmp names: two processes sharing a cache_dir (e.g. a
+            # recalibration eval racing the trainer) must not clobber each
+            # other's in-progress files; os.replace keeps publication atomic.
+            tmp_suffix = f".tmp.{os.getpid()}"
             mm = np.lib.format.open_memmap(
-                img_path + ".tmp", mode="w+", dtype=np.uint8, shape=shape
+                img_path + tmp_suffix, mode="w+", dtype=np.uint8, shape=shape
             )
             centers = np.zeros((n, 2), np.float32)
             scales = np.ones(n, np.float32)
@@ -183,7 +194,7 @@ class MPIIHostPipeline:
                 rec = self.annotations.record(index)
                 with Image.open(self.annotations.image_path(rec)) as img:
                     img = img.convert("RGB")
-                    region, c, s, kp = record_to_canvas(
+                    region, c, s, kp, head = record_to_canvas(
                         img, rec, self.canvas, as_u8=True
                     )
                 mm[index] = region
@@ -191,16 +202,16 @@ class MPIIHostPipeline:
                 scales[index] = s
                 keypoints[index] = kp
                 valid[index] = rec.valid
-                heads[index] = rec.head
+                heads[index] = head
 
             list(self._get_pool().map(load_one, range(n)))
             mm.flush()
             np.savez(
-                meta_path + ".tmp.npz", centers=centers, scales=scales,
+                meta_path + tmp_suffix + ".npz", centers=centers, scales=scales,
                 keypoints=keypoints, valid=valid, heads=heads,
             )
-            os.replace(meta_path + ".tmp.npz", meta_path)
-            os.replace(img_path + ".tmp", img_path)
+            os.replace(meta_path + tmp_suffix + ".npz", meta_path)
+            os.replace(img_path + tmp_suffix, img_path)
         images = np.load(img_path, mmap_mode="r")
         meta = dict(np.load(meta_path))
         self._cache = (images, meta)
@@ -231,7 +242,7 @@ class MPIIHostPipeline:
             rec = self.annotations.record(index)
             with Image.open(self.annotations.image_path(rec)) as img:
                 img = img.convert("RGB")
-                region, c, s, kp = record_to_canvas(
+                region, c, s, kp, head = record_to_canvas(
                     img, rec, self.canvas, as_u8=u8
                 )
             images[slot] = region
@@ -239,7 +250,7 @@ class MPIIHostPipeline:
             scales[slot] = s
             keypoints[slot] = kp
             valid[slot] = rec.valid
-            heads[slot] = rec.head
+            heads[slot] = head
             idx_arr[slot] = index
 
         list(self._get_pool().map(load_one, enumerate(indices)))

@@ -72,7 +72,7 @@ def _run(x, weights, interpret: bool = False):
 
     def w_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                            memory_space=pltpu.ANY if False else pltpu.VMEM)
+                            memory_space=pltpu.VMEM)
 
     in_specs = [
         pl.BlockSpec((TILE, IN_F), lambda i: (i, 0), memory_space=pltpu.VMEM)

@@ -32,7 +32,12 @@ def init_distributed(
     single host (or under cloud TPU auto-detection) all arguments may be
     None. After this, jax.devices() spans the full slice and every mesh/
     sharding in this package scales across hosts unchanged — the per-host
-    data pipelines feed their local shard via shard_batch."""
+    data pipelines feed their local shard via global_batch (multi-process)
+    or shard_batch (single-process).
+
+    Exercised end-to-end by tests/test_distributed.py: two CPU processes x 4
+    virtual devices form one 8-device mesh and reproduce the single-process
+    bilinear and hourglass DP losses exactly."""
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(
@@ -41,6 +46,42 @@ def init_distributed(
             process_id=process_id,
         )
     jax.distributed.initialize(**kwargs)
+
+
+def maybe_init_distributed(cfg) -> bool:
+    """CLI hook: bring up jax.distributed when the config carries
+    --coordinator/--num-processes/--process-id flags. Returns True if
+    distributed mode was initialized."""
+    coordinator = getattr(cfg, "coordinator", "")
+    if not coordinator:
+        return False
+    init_distributed(
+        coordinator_address=coordinator,
+        num_processes=int(cfg.num_processes),
+        process_id=int(cfg.process_id),
+    )
+    return True
+
+
+def global_batch(mesh: Mesh, tree):
+    """Multi-process analogue of shard_batch: each process passes its LOCAL
+    shard of the batch (leading dim = global_batch / process_count) and gets
+    back global jax.Arrays sharded over 'data' — the contract of
+    jax.make_array_from_process_local_data. Arrays whose leading dim is not
+    per-process batch-like (e.g. scalar stats) must be identical across
+    processes and come back replicated."""
+    n_proc = jax.process_count()
+    n_data = mesh.shape[DATA_AXIS]
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and (x.shape[0] * n_proc) % n_data == 0:
+            return jax.make_array_from_process_local_data(
+                batch_sharding(mesh, x.ndim), x
+            )
+        return jax.make_array_from_process_local_data(replicated(mesh), x)
+
+    return jax.tree.map(put, tree)
 
 
 def make_mesh(
@@ -81,6 +122,21 @@ def shard_batch(mesh: Mesh, tree):
         if x.ndim >= 1 and x.shape[0] % n_data == 0:
             return jax.device_put(x, batch_sharding(mesh, x.ndim))
         return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(put, tree)
+
+
+def global_from_host(mesh: Mesh, tree):
+    """Build global 'data'-sharded arrays from host data that every process
+    holds IN FULL (e.g. the H36M bins, loaded identically everywhere). Each
+    process contributes only the slices its devices own — contrast with
+    global_batch, where each process holds only its local shard."""
+    def put(x):
+        x = np.asarray(x)
+        sharding = batch_sharding(mesh, x.ndim) if x.ndim >= 1 else replicated(mesh)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
 
     return jax.tree.map(put, tree)
 

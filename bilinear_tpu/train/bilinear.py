@@ -150,10 +150,12 @@ class BilinearTrainer:
         on_epoch_end=None,
     ) -> TrainState:
         """Train ``epochs`` epochs (the reference driver runs 10 per
-        invocation, bilinear.sh x40). ``on_epoch_end(epoch, state, loss)`` is
-        the checkpoint/logging hook."""
+        invocation, bilinear.sh x40). ``on_epoch_end(epoch, state, losses)``
+        is the checkpoint/logging hook; ``losses`` is the full per-step loss
+        array for the epoch (one host fetch per epoch — the reference logged
+        per step, train_bilinear.py:86, and so can the callback)."""
         for e in range(start_epoch + 1, start_epoch + epochs + 1):
             state, losses = self.train_epoch(state, x, y, jax.random.fold_in(rng, e))
             if on_epoch_end is not None:
-                on_epoch_end(e, state, float(losses[-1]))
+                on_epoch_end(e, state, losses)
         return state

@@ -221,22 +221,45 @@ class HourglassTrainer:
     def fit_epoch(self, state: TrainState, pipeline, epoch: int, rng: jax.Array,
                   log_every: int = 0, logger=None, group: int = 1):
         """Run one epoch. ``group`` > 1 executes that many same-shaped batches
-        per device dispatch (identical numerics, fewer host round-trips)."""
+        per device dispatch (identical numerics, fewer host round-trips).
+
+        The state passed in is DONATED to the device step and must not be
+        reused by the caller afterwards; its buffers are explicitly deleted
+        after the first dispatch so a stale alias fails loudly even on CPU
+        (where donation is a no-op and the TPU-only invalidation would
+        otherwise go untested)."""
         last_loss = None
         pending = []
         step_count = 0
+        last_logged = 0
+
+        # Multi-process DP: every process runs the same (seeded) pipeline, so
+        # each one feeds its contiguous slice of every batch and the slices
+        # assemble into one global array over the mesh (parallel/mesh.py::
+        # global_batch). Single-process: plain host arrays, jit shards them.
+        n_proc = jax.process_count()
+        pid = jax.process_index()
 
         def as_dict(batch):
-            return {
+            d = {
                 "images": batch.images,
                 "centers": batch.centers,
                 "scales": batch.scales,
                 "keypoints": batch.keypoints,
                 "valid": batch.valid,
             }
+            if self.mesh is not None and n_proc > 1:
+                local = {
+                    k: v[(pid * v.shape[0]) // n_proc:
+                         ((pid + 1) * v.shape[0]) // n_proc]
+                    for k, v in d.items()
+                }
+                d = mesh_lib.global_batch(self.mesh, local)
+            return d
 
         def flush_pending(state, pending):
-            nonlocal last_loss, step_count
+            nonlocal last_loss, step_count, last_logged
+            old_state = state
             if len(pending) > 1:
                 stacked = jax.tree.map(
                     lambda *xs: jnp.stack(xs), *pending
@@ -247,10 +270,17 @@ class HourglassTrainer:
             elif pending:
                 state, last_loss = self.train_step(state, pending[0], rng)
                 step_count += 1
-            if log_every and logger and step_count and step_count % log_every < len(pending):
+            if pending and state is not old_state:
+                # Enforce the donation contract (see train_step): on TPU the
+                # dispatch above already invalidated these buffers.
+                for leaf in jax.tree.leaves(old_state):
+                    if isinstance(leaf, jax.Array) and not leaf.is_deleted():
+                        leaf.delete()
+            if log_every and logger and step_count - last_logged >= log_every:
                 logger.info(
                     "epoch %d step %d loss %f", epoch, step_count, float(last_loss)
                 )
+                last_logged = step_count
             return state
 
         lead_shape = None

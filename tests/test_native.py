@@ -56,8 +56,9 @@ def test_pipeline_uses_native_path(lib_available, tmp_path):
         img_idx=0,
         r_idx=0,
     )
-    region, c, s, kp = pl.record_to_canvas(img, rec, canvas=128)
+    region, c, s, kp, head = pl.record_to_canvas(img, rec, canvas=128)
     assert region.shape == (128, 128, 3)
+    assert head == rec.head  # no prescale -> head unchanged
     # Center maps into the canvas and pixel content matches the source crop.
     ul = np.floor(rec.center - 100 * rec.scale * pl.REGION_MARGIN).astype(int)
     np.testing.assert_allclose(c, rec.center - ul, atol=1e-5)

@@ -7,9 +7,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_trajectory_parity_full_budget():
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -45,6 +48,7 @@ def test_trajectory_parity_full_budget():
     assert f32["mpjpe_gap_mm"] < 0.5
 
 
+@pytest.mark.slow
 def test_hourglass_trajectory_parity_full_budget():
     """Companion harness for the hourglass trainer: reference loop semantics
     (sum-of-stacks MSE, clip(1), RMSprop) + the FULL reference eval protocol

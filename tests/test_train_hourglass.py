@@ -276,6 +276,85 @@ def test_u8_transport_train_step(mpii_root):
     assert float(loss_f) == pytest.approx(float(loss_u), rel=1e-5)
 
 
+def test_record_to_canvas_downscale_scales_head(mpii_root):
+    """When the crop region exceeds the canvas and the source is downscaled
+    by f, EVERY length-like annotation must shrink by f — including the PCKh
+    head length, or dist/head (eval/pckh.py) inflates by f (round-2 advisor
+    finding). Checks the invariant directly: dist(kp, center)/head is
+    preserved across the downscale."""
+    from bilinear_tpu.data.mpii import MPIIRecord
+    from bilinear_tpu.data.pipeline import REGION_MARGIN, record_to_canvas
+    from PIL import Image as PILImage
+
+    rng = np.random.RandomState(5)
+    img = PILImage.fromarray((rng.rand(400, 500, 3) * 255).astype(np.uint8))
+    rec = MPIIRecord(
+        image_name="x.jpg",
+        center=np.asarray([250.0, 200.0], np.float32),
+        scale=1.5,  # 2*100*1.5*MARGIN = 615 > 128 canvas -> downscale path
+        head=42.0,
+        keypoints=np.full((16, 2), 230.0, np.float32),
+        valid=np.ones(16, bool),
+        img_idx=0,
+        r_idx=0,
+    )
+    canvas = 128
+    f = (2 * 100.0 * rec.scale * REGION_MARGIN) / canvas
+    assert f > 1
+    _, c, s, kp, head = record_to_canvas(img, rec, canvas=canvas)
+    assert s == pytest.approx(rec.scale / f)
+    assert head == pytest.approx(rec.head / f)
+    # The PCKh ratio is invariant under the prescale.
+    d_orig = np.linalg.norm(rec.keypoints[0] - rec.center)
+    d_canvas = np.linalg.norm(kp[0] - c)
+    assert d_canvas / head == pytest.approx(d_orig / rec.head, rel=1e-5)
+
+
+def test_fit_epoch_donation_contract(mpii_root):
+    """fit_epoch donates the incoming state to the device step; reusing it
+    afterwards must fail loudly (on TPU donation invalidates the buffers; on
+    CPU fit_epoch deletes them explicitly so the contract is testable here)."""
+    anns = MPIIAnnotations(mpii_root, Task.Train)
+    pipe = MPIIHostPipeline(anns, batch_size=4, canvas=128, drop_last=True)
+    t = HourglassTrainer(batch_size=4, canvas=128)
+    t.model = MainModel(n_stacks=1, features=8, depth=1)
+    old_state = t.init_state(jax.random.PRNGKey(0))
+    new_state, _ = t.fit_epoch(old_state, pipe, 0, jax.random.PRNGKey(1))
+    assert int(new_state.step) > 0  # the returned state is live
+    with pytest.raises(RuntimeError):
+        np.asarray(jax.tree.leaves(old_state.params)[0])
+
+
+def test_mpii_test_annotations_train_subset(mpii_root):
+    """MPIITestAnnotations(train_subset=True) walks img_train==1 entries with
+    subset-relative 1-based indices (the SH-preprocess-over-train path)."""
+    from bilinear_tpu.data.mpii import MPIITestAnnotations
+
+    test = MPIITestAnnotations(mpii_root)
+    train = MPIITestAnnotations(mpii_root, train_subset=True)
+    # Synthetic set: 10 train images / 2 test images, single_person=[1] each.
+    assert len(test) == 2 and len(train) == 10
+    test_names = {r.image_name for r in test.entries}
+    train_names = {r.image_name for r in train.entries}
+    assert not (test_names & train_names)
+    # 1-based, subset-relative img indices; r_idx 1-based from single_person.
+    assert [r.img_idx for r in train.entries] == list(range(1, 11))
+    assert all(r.r_idx == 1 for r in train.entries)
+    # center = raw objpos (no +15*scale shift), scale = 1.25*raw.
+    full = MPIIAnnotations(mpii_root, Task.Train)
+    raw_rect = _as_list_rect(full.annolist[full.subset[0][0]].annorect)[0]
+    some = next(
+        r for r in train.entries
+        if r.image_name == str(full.annolist[full.subset[0][0]].image.name)
+    )
+    assert some.center[1] == pytest.approx(float(raw_rect.objpos.y))
+    assert some.scale == pytest.approx(1.25 * float(raw_rect.scale))
+
+
+def _as_list_rect(x):
+    return list(x) if isinstance(x, np.ndarray) else [x]
+
+
 def test_canvas_cache_matches_decode(mpii_root, tmp_path):
     """cache_dir materializes u8 canvases once; cached batches are
     identical to freshly-decoded ones (same records, same content)."""
