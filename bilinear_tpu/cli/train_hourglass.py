@@ -58,6 +58,7 @@ def main(argv=None) -> None:
         n_stacks=cfg.n_stacks,
         features=cfg.features,
         depth=cfg.depth,
+        fused_blocks=cfg.fused_blocks,
     )
     template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     state, start_epoch = resume_or_init(template, parameter_dir)

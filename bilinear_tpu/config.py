@@ -76,6 +76,8 @@ class HourglassConfig:
     n_stacks: int = 8
     features: int = 256
     depth: int = 4
+    fused_blocks: bool = False  # Pallas whole-block ResModules (torch7 only;
+    # same checkpoint tree, VMEM-resident fwd+bwd — ops/pallas/resmodule.py)
     # Multi-host bring-up (see BilinearConfig.coordinator).
     coordinator: str = ""
     num_processes: int = 1

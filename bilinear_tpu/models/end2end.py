@@ -37,12 +37,35 @@ class End2End(nn.Module):
     variant: str = "torch7"
     temperature: float = 10.0
     dtype: jnp.dtype = jnp.float32
+    # Detector size overrides (None = reference defaults) for small
+    # integration/dryrun builds; and the fused whole-block kernel knob.
+    n_stacks: int = None
+    features: int = None
+    depth: int = None
+    fused: bool = False
 
     def setup(self):
+        kw = {}
         if self.variant == "torch7":
-            self.hourglass = MainModel(dtype=self.dtype, name="hourglass")
+            if self.n_stacks is not None:
+                kw["n_stacks"] = self.n_stacks
+            if self.features is not None:
+                kw["features"] = self.features
+            if self.depth is not None:
+                kw["depth"] = self.depth
+            self.hourglass = MainModel(
+                dtype=self.dtype, fused=self.fused, name="hourglass", **kw
+            )
         else:
-            self.hourglass = StackedHourglass(dtype=self.dtype, name="hourglass")
+            if self.n_stacks is not None:
+                kw["stacks"] = self.n_stacks
+            if self.features is not None:
+                kw["out_channels"] = self.features
+            if self.depth is not None:
+                kw["compression_time"] = self.depth
+            self.hourglass = StackedHourglass(
+                dtype=self.dtype, name="hourglass", **kw
+            )
         self.bilinear = BilinearUnit(dtype=self.dtype, name="bilinear")
 
     def __call__(

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -51,19 +52,87 @@ def _conv(features, kernel, name, stride=1, bias=True, dtype=jnp.float32,
     )
 
 
+class _ConvP(nn.Module):
+    """Parameter-holder mirroring nn.Conv's variable names/shapes/inits so
+    the fused path's checkpoint tree is identical to the standard path's.
+    Param rng streams match too: flax folds rngs by scope path, and within
+    the scope kernel-then-bias is nn.Conv's declaration order."""
+
+    kshape: tuple
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_conv_default_kernel(), self.kshape)
+        bias = self.param(
+            "bias", torch_bias_init(self.fan_in), (self.kshape[-1],)
+        )
+        return kernel, bias
+
+
+class _BNState(nn.Module):
+    """Parameter/stat-holder mirroring TorchBatchNorm's variables, with the
+    normalization math done elsewhere (the fused kernel). ``update=True``
+    applies the torch running-stat update (momentum or cumulative) to the
+    batch stats the kernel computed (core/norm.py:58-71)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch_mean=None, batch_var=None, n: int = 1,
+                 momentum="__unset__", update: bool = False):
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(self.features, self.dtype)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(self.features, self.dtype)
+        )
+        count = self.variable(
+            "batch_stats", "count", lambda: jnp.zeros([], jnp.int32)
+        )
+        gamma = self.param(
+            "scale", nn.initializers.ones, (self.features,), self.dtype
+        )
+        beta = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.dtype
+        )
+        if update and not self.is_initializing():
+            unbiased = batch_var * (n / max(n - 1, 1))
+            new_count = count.value + 1
+            if momentum is None:
+                factor = 1.0 / new_count.astype(self.dtype)
+            else:
+                factor = jnp.asarray(momentum, self.dtype)
+            ra_mean.value = (1 - factor) * ra_mean.value + factor * batch_mean
+            ra_var.value = (1 - factor) * ra_var.value + factor * unbiased
+            count.value = new_count
+        return gamma, beta, ra_mean.value, ra_var.value
+
+
 class ResModule(nn.Module):
-    """model/hourglass_torch7.py:14-39."""
+    """model/hourglass_torch7.py:14-39.
+
+    ``fused=True`` routes through the whole-block Pallas kernels
+    (ops/pallas/resmodule.py — VMEM-resident fwd + custom_vjp bwd) on TPU,
+    or through the mathematically identical pure-jnp formulation elsewhere.
+    The variable tree is IDENTICAL to the standard path (same names, shapes,
+    and init rng streams), so checkpoints and converted torch weights load
+    into either."""
 
     in_channels: int
     out_channels: int
     momentum: Optional[float] = 0.1
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool, momentum="__unset__"):
         if momentum == "__unset__":
             momentum = self.momentum
         half = self.out_channels // 2
+        if self.fused:
+            return self._fused(x, train=train, momentum=momentum, half=half)
 
         def bn(name, h):
             return TorchBatchNorm(momentum=self.momentum, dtype=jnp.promote_types(jnp.float32, self.dtype), name=name)(
@@ -86,6 +155,65 @@ class ResModule(nn.Module):
         h = _conv(self.out_channels, 1, "conv3", dtype=self.dtype, fan_in=half)(h)
         return skip + h
 
+    def _fused(self, x, *, train: bool, momentum, half: int):
+        from bilinear_tpu.ops.pallas import resmodule as rk
+
+        ci, co = self.in_channels, self.out_channels
+        sdtype = jnp.promote_types(jnp.float32, self.dtype)
+        bn1 = _BNState(ci, sdtype, name="bn1")
+        bn2 = _BNState(half, sdtype, name="bn2")
+        bn3 = _BNState(half, sdtype, name="bn3")
+        g1, be1, rm1, rv1 = bn1()
+        g2, be2, rm2, rv2 = bn2()
+        g3, be3, rm3, rv3 = bn3()
+        # conv_skip params materialize only on channel change — the standard
+        # flax path constructs the module unconditionally but only CALLS it
+        # when ci != co, and uncalled flax modules create no params.
+        ksk = bsk = None
+        if ci != co:
+            ksk, bsk = _ConvP((1, 1, ci, co), ci, name="conv_skip")()
+        k1, b1 = _ConvP((1, 1, ci, half), ci, name="conv1")()
+        k2, b2 = _ConvP((3, 3, half, half), half * 9, name="conv2")()
+        k3, b3 = _ConvP((1, 1, half, co), half, name="conv3")()
+
+        p = rk.ResParams(
+            w1=k1.reshape(ci, half), b1=b1,
+            w2=k2.reshape(9, half, half), b2=b2,
+            w3=k3.reshape(half, co), b3=b3,
+            g1=g1, be1=be1, g2=g2, be2=be2, g3=g3, be3=be3,
+            skip_w=ksk.reshape(ci, co) if ksk is not None else None,
+            skip_b=bsk,
+        )
+
+        # The Pallas kernels require a compiled TPU backend (and bf16/f32);
+        # everywhere else (CPU tests, init, f64 parity runs) the identical
+        # pure-jnp formulation is used — same math, autodiff backward.
+        use_kernel = (
+            jax.default_backend() == "tpu"
+            and not self.is_initializing()
+            and jnp.dtype(self.dtype).itemsize <= 4
+        )
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        if train:
+            if use_kernel:
+                out, stats = rk.res_block_train(x, p, dtype=self.dtype)
+            else:
+                out, stats = rk.res_block_ref(
+                    x, p, train=True, dtype=self.dtype
+                )
+            bn1(stats.m1, stats.v1, n, momentum, update=True)
+            bn2(stats.m2, stats.v2, n, momentum, update=True)
+            bn3(stats.m3, stats.v3, n, momentum, update=True)
+        else:
+            stats = rk.BatchStats(rm1, rv1, rm2, rv2, rm3, rv3)
+            if use_kernel:
+                out = rk.res_block_eval(x, p, stats, dtype=self.dtype)
+            else:
+                out, _ = rk.res_block_ref(
+                    x, p, train=False, stats=stats, dtype=self.dtype
+                )
+        return out
+
 
 class Hourglass(nn.Module):
     """Recursive encoder/decoder (model/hourglass_torch7.py:42-75)."""
@@ -94,12 +222,13 @@ class Hourglass(nn.Module):
     features: int = N_FEATURES
     momentum: Optional[float] = 0.1
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool, momentum="__unset__"):
         if momentum == "__unset__":
             momentum = self.momentum
-        kw = dict(momentum=self.momentum, dtype=self.dtype)
+        kw = dict(momentum=self.momentum, dtype=self.dtype, fused=self.fused)
         up = ResModule(self.features, self.features, name="res1", **kw)(
             x, train=train, momentum=momentum
         )
@@ -110,7 +239,7 @@ class Hourglass(nn.Module):
         if self.depth > 1:
             low = Hourglass(
                 self.depth - 1, self.features, self.momentum, self.dtype,
-                name="sub",
+                self.fused, name="sub",
             )(low, train=train, momentum=momentum)
         else:
             low = ResModule(self.features, self.features, name="waist", **kw)(
@@ -154,13 +283,14 @@ class MainModel(nn.Module):
     depth: int = N_DEPTH
     momentum: Optional[float] = 0.1
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False  # whole-block Pallas ResModules (ops/pallas/resmodule)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, momentum="__unset__"):
         if momentum == "__unset__":
             momentum = self.momentum
         x = x.astype(self.dtype)
-        kw = dict(momentum=self.momentum, dtype=self.dtype)
+        kw = dict(momentum=self.momentum, dtype=self.dtype, fused=self.fused)
 
         h = _conv(64, 7, "stem_conv", stride=2, dtype=self.dtype, fan_in=3 * 49)(x)
         h = TorchBatchNorm(momentum=self.momentum, dtype=jnp.promote_types(jnp.float32, self.dtype), name="stem_bn")(
@@ -178,7 +308,7 @@ class MainModel(nn.Module):
         for i in range(self.n_stacks):
             ll = Hourglass(
                 self.depth, self.features, self.momentum, self.dtype,
-                name=f"hg_{i}",
+                self.fused, name=f"hg_{i}",
             )(inter, train=train, momentum=momentum)
             ll = Lin(self.features, self.momentum, self.dtype, name=f"lin_{i}")(
                 ll, train=train, momentum=momentum

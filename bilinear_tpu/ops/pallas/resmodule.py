@@ -125,17 +125,19 @@ def _roll(a, shift):
 
 
 def _bn_fwd(h, gamma, beta, m, v):
-    """f32 BN + ReLU given stats; returns (activation f32, pre-relu f32)."""
-    hf = h.astype(jnp.float32)
+    """BN + ReLU given stats, in promote(f32, dtype) like TorchBatchNorm;
+    returns (activation, pre-relu)."""
+    hf = h.astype(jnp.promote_types(jnp.float32, h.dtype))
     hhat = (hf - m) * jax.lax.rsqrt(v + EPS)
     y = hhat * gamma + beta
     return jnp.maximum(y, 0.0), y
 
 
 def _stats(h):
-    """Batch mean + biased variance over axis 0, in f32, keepdims (1, C) —
-    the TorchBatchNorm train-mode formulas (core/norm.py:59-60)."""
-    hf = h.astype(jnp.float32)
+    """Batch mean + biased variance over axis 0 in promote(f32, dtype),
+    keepdims (1, C) — the TorchBatchNorm train-mode formulas
+    (core/norm.py:59-60)."""
+    hf = h.astype(jnp.promote_types(jnp.float32, h.dtype))
     m = jnp.mean(hf, axis=0, keepdims=True)
     v = jnp.mean(jnp.square(hf - m), axis=0, keepdims=True)
     return m, v
@@ -290,7 +292,13 @@ def _fwd_kernel_body(refs, *, shape, dtype, train):
 
 def _bwd_kernel_body(refs, *, shape, dtype):
     """Backward: recompute activations from x + saved batch stats, then walk
-    the chain in reverse emitting every gradient."""
+    the chain in reverse emitting every gradient.
+
+    VMEM liveness discipline: the big per-BN f32 intermediates (hhat, y) are
+    recomputed JUST BEFORE each BN's backward from the resident x/h1/h2
+    scratches rather than kept alive from the recompute phase (an extra
+    handful of elementwise passes, irrelevant for a bandwidth-bound model),
+    and gradients flow between stages in ``dtype`` like XLA's own backward."""
     b, h, w, ci, ch, co, has_skip = shape
     n = b * h * w
     nf = float(n)
@@ -306,38 +314,58 @@ def _bwd_kernel_body(refs, *, shape, dtype):
     rs2 = jax.lax.rsqrt(v2 + EPS)
     rs3 = jax.lax.rsqrt(v3 + EPS)
 
-    # ---- recompute forward (VMEM-resident; h1/h2 persisted in scratch) ----
-    hhat1 = (x.astype(jnp.float32) - m1) * rs1
-    y1 = hhat1 * refs["g1"][:] + refs["be1"][:]
-    a1 = jnp.maximum(y1, 0.0).astype(dtype)
-    refs["h1"][:] = (
-        jnp.dot(a1, refs["w1"][:], preferred_element_type=jnp.float32)
-    ).astype(dtype) + refs["b1"][:].astype(dtype)
+    def bn1_act(xv):
+        hhat = (xv.astype(jnp.float32) - m1) * rs1
+        y = hhat * refs["g1"][:] + refs["be1"][:]
+        return hhat, y
 
-    hhat2 = (refs["h1"][:].astype(jnp.float32) - m2) * rs2
-    y2 = hhat2 * refs["g2"][:] + refs["be2"][:]
+    def bn2_act(h1v):
+        hhat = (h1v.astype(jnp.float32) - m2) * rs2
+        y = hhat * refs["g2"][:] + refs["be2"][:]
+        return hhat, y
+
+    def bn3_act(h2v):
+        hhat = (h2v.astype(jnp.float32) - m3) * rs3
+        y = hhat * refs["g3"][:] + refs["be3"][:]
+        return hhat, y
+
+    # ---- recompute forward (h1/a2/h2 persisted in scratch) ----
+    _, y1 = bn1_act(x)
+    refs["h1"][:] = (
+        jnp.dot(
+            jnp.maximum(y1, 0.0).astype(dtype), refs["w1"][:],
+            preferred_element_type=jnp.float32,
+        )
+    ).astype(dtype) + refs["b1"][:].astype(dtype)
+    del y1
+
+    _, y2 = bn2_act(refs["h1"][:])
     refs["a2"][:] = jnp.maximum(y2, 0.0).astype(dtype)
+    del y2
     refs["h2"][:] = (
         _conv3x3(refs["a2"][:], refs["w2"][:], fwd_masks, dtype)
     ).astype(dtype) + refs["b2"][:].astype(dtype)
 
-    hhat3 = (refs["h2"][:].astype(jnp.float32) - m3) * rs3
-    y3 = hhat3 * refs["g3"][:] + refs["be3"][:]
-    a3 = jnp.maximum(y3, 0.0).astype(dtype)
-
     # ---- conv3 (+ skip) backward ----
-    gof = g_out.astype(jnp.float32)
-    refs["db3"][:] = jnp.sum(gof, axis=0, keepdims=True)
+    hhat3, y3 = bn3_act(refs["h2"][:])
+    a3 = jnp.maximum(y3, 0.0).astype(dtype)
+    refs["db3"][:] = jnp.sum(
+        g_out.astype(jnp.float32), axis=0, keepdims=True
+    )
     refs["dw3"][:] = jax.lax.dot_general(
         a3, g_out, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    del a3
     g_a3 = jax.lax.dot_general(
         g_out, refs["w3"][:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(dtype)
 
-    g_h2, dg3, dbe3 = _bn_bwd(g_a3, y3, hhat3, refs["g3"][:], rs3, nf)
+    g_h2, dg3, dbe3 = _bn_bwd(
+        g_a3.astype(jnp.float32), y3, hhat3, refs["g3"][:], rs3, nf
+    )
+    del g_a3, y3, hhat3
     refs["dg3"][:] = dg3
     refs["dbe3"][:] = dbe3
     g_h2 = g_h2.astype(dtype)
@@ -363,23 +391,31 @@ def _bwd_kernel_body(refs, *, shape, dtype):
             rev_masks[t], contrib, jnp.zeros_like(contrib)
         )
 
+    hhat2, y2 = bn2_act(refs["h1"][:])
     g_h1, dg2, dbe2 = _bn_bwd(g_a2_acc, y2, hhat2, refs["g2"][:], rs2, nf)
+    del g_a2_acc, y2, hhat2
     refs["dg2"][:] = dg2
     refs["dbe2"][:] = dbe2
     g_h1 = g_h1.astype(dtype)
 
     # ---- conv1 backward ----
+    hhat1, y1 = bn1_act(x)
+    a1 = jnp.maximum(y1, 0.0).astype(dtype)
     refs["db1"][:] = jnp.sum(g_h1.astype(jnp.float32), axis=0, keepdims=True)
     refs["dw1"][:] = jax.lax.dot_general(
         a1, g_h1, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    del a1
     g_a1 = jax.lax.dot_general(
         g_h1, refs["w1"][:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(dtype)
 
-    g_x_main, dg1, dbe1 = _bn_bwd(g_a1, y1, hhat1, refs["g1"][:], rs1, nf)
+    g_x_main, dg1, dbe1 = _bn_bwd(
+        g_a1.astype(jnp.float32), y1, hhat1, refs["g1"][:], rs1, nf
+    )
+    del g_a1, y1, hhat1
     refs["dg1"][:] = dg1
     refs["dbe1"][:] = dbe1
 
@@ -395,7 +431,7 @@ def _bwd_kernel_body(refs, *, shape, dtype):
             preferred_element_type=jnp.float32,
         )
     else:
-        g_skip = gof
+        g_skip = g_out.astype(jnp.float32)
     refs["g_x"][:] = (g_x_main + g_skip).astype(dtype)
 
 

@@ -1,7 +1,7 @@
-"""Batched lifting inference service — the production serving path.
+"""Serving — the production inference paths.
 
-Wraps the fused Pallas kernel (ops/pallas/lifting.py) with everything a
-caller needs to go from raw image-space 2D keypoints to 3D millimeters:
+``LiftingServer``: batched 2D->3D lifting around the fused Pallas kernel
+(ops/pallas/lifting.py):
 
   image-space (N, 16, 2) -> z-score with the TRAIN-split part stats
   -> fused kernel (BN folded, weights VMEM-resident, bf16 MXU)
@@ -11,16 +11,31 @@ caller needs to go from raw image-space 2D keypoints to 3D millimeters:
 Requests are padded to the kernel's tile size; weights are folded once at
 construction. ``from_run_dir`` resumes the newest checkpoint with the
 reference's dir-scan contract.
+
+``End2EndServer``: the frame->3D showcase path (hourglass -> softargmax ->
+remap -> normalize -> lifting as ONE XLA program, 0.6 ms batch-1 on chip —
+benchmarks/RESULTS.md). Requests are chunked/padded to a fixed set of
+compiled batch sizes so every dispatch hits a cached program, and
+checkpoints hot-reload by polling the run dir for newer epochs. This is the
+working rebuild of the reference's broken online path (webcam.py:27-45,
+model/end2end.py:21-43).
 """
 from __future__ import annotations
 
 import os
+from typing import Optional, Sequence, Tuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from bilinear_tpu.data.h36m import H36MSplit
-from bilinear_tpu.io.checkpoint import resume_or_init
+from bilinear_tpu.io.checkpoint import (
+    latest_epoch,
+    load_checkpoint,
+    restore_state,
+    resume_or_init,
+)
 from bilinear_tpu.ops.pallas.lifting import lifting_forward, prepare_weights
 
 
@@ -95,3 +110,154 @@ class LiftingServer:
             interpret=self._interpret,
             prepared=self._prepared,
         )
+
+
+class End2EndServer:
+    """Batched frame->3D serving over the fused End2End program.
+
+    - ``predict(frames)`` accepts any request size; it is dispatched as
+      greedy largest-first chunks over ``batch_sizes`` with the remainder
+      zero-padded up to the smallest fitting size, so every dispatch reuses
+      an already-compiled program (compile once per size, ever).
+    - ``reload()`` polls ``parameter_dir`` for a newer epoch and swaps the
+      weights in place — same shapes, so no recompilation. Call it between
+      requests (or from a timer) for zero-downtime checkpoint rollover.
+    """
+
+    def __init__(
+        self,
+        variables,
+        mean_part,
+        std_part,
+        mean_s,
+        std_s,
+        variant: str = "torch7",
+        dtype=jnp.bfloat16,
+        batch_sizes: Sequence[int] = (1, 8, 64),
+        model_kw: Optional[dict] = None,
+        parameter_dir: Optional[str] = None,
+        epoch: int = 0,
+    ):
+        from bilinear_tpu.models.end2end import End2End
+
+        self.model = End2End(variant=variant, dtype=dtype, **(model_kw or {}))
+        self._variables = variables
+        self._mean_part = jnp.asarray(mean_part)
+        self._std_part = jnp.asarray(std_part)
+        self._mean_s = jnp.asarray(np.asarray(mean_s).reshape(-1))
+        self._std_s = jnp.asarray(np.asarray(std_s).reshape(-1))
+        self.batch_sizes = tuple(sorted(set(int(b) for b in batch_sizes)))
+        self.parameter_dir = parameter_dir
+        self.epoch = epoch
+        self._compiled = {}
+
+    @classmethod
+    def from_run_dir(cls, run_dir: str, split: H36MSplit, variant="torch7",
+                     model_kw: Optional[dict] = None, **kw):
+        """Resume the newest End2End checkpoint from
+        ``{run_dir}/parameter`` (reference dir-scan contract) and serve it
+        with hot-reload enabled."""
+        from bilinear_tpu.train.end2end import End2EndTrainer
+
+        trainer = End2EndTrainer(variant=variant, model_kw=model_kw)
+        mean = jnp.asarray(split.mean_part)
+        std = jnp.asarray(split.std_part)
+        template = trainer.init_state(jax.random.PRNGKey(0), mean, std)
+        parameter_dir = os.path.join(run_dir, "parameter")
+        state, epoch = resume_or_init(template, parameter_dir)
+        server = cls(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            split.mean_part, split.std_part, split.mean_s, split.std_s,
+            variant=variant, model_kw=model_kw,
+            parameter_dir=parameter_dir, epoch=epoch, **kw,
+        )
+        server._template = template
+        return server
+
+    # ---------------------------------------------------------- hot reload
+    def reload(self) -> bool:
+        """Swap in the newest checkpoint if one landed since construction.
+        Returns True when weights changed."""
+        if self.parameter_dir is None:
+            return False
+        newest = latest_epoch(self.parameter_dir)
+        if newest <= self.epoch:
+            return False
+        payload = load_checkpoint(self.parameter_dir, newest)
+        state = restore_state(self._template, payload)
+        self._variables = {
+            "params": state.params, "batch_stats": state.batch_stats
+        }
+        self.epoch = newest
+        return True
+
+    # ------------------------------------------------------------ dispatch
+    def _fn(self, batch: int):
+        if batch not in self._compiled:
+            model = self.model
+            mean_p, std_p = self._mean_part, self._std_part
+
+            @jax.jit
+            def fwd(variables, frames, centers, scales):
+                _, pose2d, pose3d = model.apply(
+                    variables, frames, centers, scales, mean_p, std_p,
+                    train=False,
+                )
+                return pose2d, pose3d
+
+            self._compiled[batch] = fwd
+        return self._compiled[batch]
+
+    def _chunks(self, n: int):
+        """Greedy largest-first split of n into compiled batch sizes; the
+        remainder is padded up to the smallest size that fits."""
+        sizes = self.batch_sizes
+        out = []
+        remaining = n
+        while remaining > 0:
+            fit = [b for b in sizes if b <= remaining]
+            if fit:
+                out.append((fit[-1], fit[-1]))
+                remaining -= fit[-1]
+            else:
+                padded = next(b for b in sizes if b >= remaining)
+                out.append((remaining, padded))
+                remaining = 0
+        return out
+
+    def predict(
+        self, frames, centers=None, scales=None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """frames (N, 256, 256, 3) in [0, 1] (uint8 accepted) ->
+        (pose2d (N, 16, 2) source-image px, pose3d (N, 16, 3) mm,
+        root-centered). Defaults: full-frame crop (center 128, scale
+        256/200 — webcam.py:13-25 semantics)."""
+        frames = np.asarray(frames)
+        if frames.dtype == np.uint8:
+            frames = frames.astype(np.float32) / 255.0
+        n = frames.shape[0]
+        if centers is None:
+            centers = np.full((n, 2), 128.0, np.float32)
+        if scales is None:
+            scales = np.full((n,), 256.0 / 200.0, np.float32)
+
+        pose2d = np.zeros((n, 16, 2), np.float32)
+        pose3d_n = np.zeros((n, 48), np.float32)
+        done = 0
+        for take, batch in self._chunks(n):
+            idx = slice(done, done + take)
+            f = frames[idx]
+            c = centers[idx]
+            s = scales[idx]
+            if take < batch:
+                pad = batch - take
+                f = np.concatenate([f, np.zeros((pad,) + f.shape[1:], f.dtype)])
+                c = np.concatenate([c, np.full((pad, 2), 128.0, np.float32)])
+                s = np.concatenate([s, np.ones((pad,), np.float32)])
+            p2, p3 = self._fn(batch)(self._variables, f, c, s)
+            pose2d[idx] = np.asarray(p2, np.float32)[:take]
+            pose3d_n[idx] = np.asarray(p3, np.float32)[:take]
+            done += take
+
+        mm = pose3d_n * np.asarray(self._std_s) + np.asarray(self._mean_s)
+        return pose2d, mm.reshape(n, 16, 3)

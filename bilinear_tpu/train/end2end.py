@@ -40,8 +40,9 @@ class End2EndTrainer:
         lambda_3d: float = 1.0,
         mesh=None,
         dtype=jnp.float32,
+        model_kw=None,  # detector size overrides (n_stacks/features/depth)
     ):
-        self.model = End2End(variant=variant, dtype=dtype)
+        self.model = End2End(variant=variant, dtype=dtype, **(model_kw or {}))
         self.tx = hourglass_optimizer(learning_rate)
         self.batch_size = batch_size
         self.lambda_3d = lambda_3d

@@ -38,11 +38,12 @@ from bilinear_tpu.parallel import mesh as mesh_lib
 
 
 def make_model(variant: str = "torch7", dtype=jnp.float32,
-               n_stacks=None, features=None, depth=None):
+               n_stacks=None, features=None, depth=None, fused=False):
     """'torch7' = the network train_hourglass.py trains; 'preact' = the
     re-implementation train_hourglass_FT.py fine-tunes. Size overrides
     (None = reference defaults: 8 stacks, 256 features, depth 4) enable tiny
-    smoke/integration runs of every CLI."""
+    smoke/integration runs of every CLI. ``fused`` routes the torch7
+    ResModules through the whole-block Pallas kernels (same variable tree)."""
     if variant == "torch7":
         kw = {}
         if n_stacks is not None:
@@ -51,7 +52,7 @@ def make_model(variant: str = "torch7", dtype=jnp.float32,
             kw["features"] = features
         if depth is not None:
             kw["depth"] = depth
-        return MainModel(dtype=dtype, **kw)
+        return MainModel(dtype=dtype, fused=fused, **kw)
     if variant == "preact":
         kw = {}
         if n_stacks is not None:
@@ -122,12 +123,15 @@ class HourglassTrainer:
         n_stacks=None,  # model size overrides, None = reference defaults
         features=None,
         depth=None,
+        fused_blocks: bool = False,  # Pallas whole-block ResModules (torch7)
     ):
         self.variant = variant
         self.batch_size = batch_size
         self.mesh = mesh
         self.canvas = canvas
-        self.model = make_model(variant, dtype, n_stacks, features, depth)
+        self.model = make_model(
+            variant, dtype, n_stacks, features, depth, fused=fused_blocks
+        )
         self.tx = hourglass_optimizer(learning_rate)
         self.joint_remap = joint_remap
         self.flip_prob = flip_prob

@@ -56,3 +56,83 @@ def test_lift_normalized_contract(setup):
     out = server.lift_normalized(np.zeros((5, 32), np.float32))
     assert out.shape == (5, 48)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# End2EndServer
+# ---------------------------------------------------------------------------
+
+E2E_KW = dict(n_stacks=1, features=8, depth=1)
+
+
+@pytest.fixture(scope="module")
+def e2e_setup(tmp_path_factory):
+    from bilinear_tpu.train.end2end import End2EndTrainer
+
+    d = str(tmp_path_factory.mktemp("Human3.6M"))
+    write_h36m_dataset(d, n_train=64, n_valid=16)
+    splits = load_h36m(d, Protocol.GT)
+    tr = splits[Task.Train]
+    run_dir = str(tmp_path_factory.mktemp("e2e_run"))
+    trainer = End2EndTrainer(model_kw=E2E_KW)
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), jnp.asarray(tr.mean_part), jnp.asarray(tr.std_part)
+    )
+    save_checkpoint(run_dir + "/parameter", 1, state)
+    return splits, run_dir, trainer, state
+
+
+def test_end2end_server_batching_matches_direct(e2e_setup):
+    """Chunked/padded dispatch (batch sizes {1, 4}) must equal one direct
+    full-batch apply — padding must not leak into real results."""
+    from bilinear_tpu.serving import End2EndServer
+
+    splits, run_dir, trainer, state = e2e_setup
+    tr = splits[Task.Train]
+    server = End2EndServer.from_run_dir(
+        run_dir, tr, model_kw=E2E_KW, dtype=jnp.float32, batch_sizes=(1, 4)
+    )
+    assert server.epoch == 1
+
+    rng = np.random.RandomState(0)
+    n = 7  # -> chunks 4 + 1 + 1 + 1 under {1, 4}
+    frames = rng.rand(n, 256, 256, 3).astype(np.float32)
+    pose2d, mm = server.predict(frames)
+    assert pose2d.shape == (n, 16, 2) and mm.shape == (n, 16, 3)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    _, p2_ref, p3_ref = trainer.model.apply(
+        variables, jnp.asarray(frames),
+        jnp.full((n, 2), 128.0), jnp.full((n,), 1.28),
+        jnp.asarray(tr.mean_part), jnp.asarray(tr.std_part), train=False,
+    )
+    np.testing.assert_allclose(pose2d, np.asarray(p2_ref), rtol=1e-4, atol=1e-3)
+    ref_mm = (np.asarray(p3_ref) * tr.std_s + tr.mean_s).reshape(n, 16, 3)
+    np.testing.assert_allclose(mm, ref_mm, rtol=1e-4, atol=1e-2)
+
+    # uint8 input path.
+    p2_u8, _ = server.predict((frames * 255).astype(np.uint8))
+    np.testing.assert_allclose(p2_u8, pose2d, atol=1.0)
+
+
+def test_end2end_server_hot_reload(e2e_setup):
+    from bilinear_tpu.serving import End2EndServer
+
+    splits, run_dir, trainer, state = e2e_setup
+    tr = splits[Task.Train]
+    server = End2EndServer.from_run_dir(
+        run_dir, tr, model_kw=E2E_KW, dtype=jnp.float32, batch_sizes=(2,)
+    )
+    frames = np.random.RandomState(1).rand(2, 256, 256, 3).astype(np.float32)
+    _, mm_before = server.predict(frames)
+    assert server.reload() is False  # nothing newer
+
+    # A new epoch lands (perturbed weights) -> reload picks it up.
+    bumped = state.replace(
+        params=jax.tree.map(lambda v: v + 0.05, state.params)
+    )
+    save_checkpoint(run_dir + "/parameter", 2, bumped)
+    assert server.reload() is True
+    assert server.epoch == 2
+    _, mm_after = server.predict(frames)
+    assert not np.allclose(mm_after, mm_before)
