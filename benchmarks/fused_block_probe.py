@@ -64,11 +64,21 @@ def run_shape(b, h, w, ci, co, dtype=jnp.bfloat16):
     print(f"  loss rel diff {rel:.2e}; worst grad rel {max(grels):.2e}",
           flush=True)
 
+    def consume(vg):
+        """Timed fns must consume loss AND all gradients — fetching only the
+        loss lets XLA dead-code-eliminate the entire backward pass."""
+        val, grads = vg
+        return val + sum(
+            jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads)
+        )
+
     t_std = measure_fn(
-        lambda eps: grad_std(variables["params"], mix(x, eps))[0], k1=2, k2=10
+        lambda eps: consume(grad_std(variables["params"], mix(x, eps))),
+        k1=2, k2=10,
     )
     t_fused = measure_fn(
-        lambda eps: grad_fused(variables["params"], mix(x, eps))[0], k1=2, k2=10
+        lambda eps: consume(grad_fused(variables["params"], mix(x, eps))),
+        k1=2, k2=10,
     )
     print(json.dumps({
         "shape": [b, h, w, ci, co],

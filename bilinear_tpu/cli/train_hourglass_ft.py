@@ -23,11 +23,15 @@ from bilinear_tpu.io.checkpoint import resume_or_init, save_checkpoint
 from bilinear_tpu.io.logger import get_logger
 from bilinear_tpu.io.tensorboard import TBWriter
 from bilinear_tpu.ops.joints import FROM_H36M_TO_MPII
+from bilinear_tpu.parallel import mesh as mesh_lib
 from bilinear_tpu.train.hourglass import HourglassTrainer
 
 
 def main(argv=None) -> None:
     cfg = parse_config(HourglassFTConfig(), argv)
+    # Multi-host DP (same flags/semantics as cli/train_hourglass.py).
+    distributed = mesh_lib.maybe_init_distributed(cfg)
+    mesh = mesh_lib.make_mesh() if distributed else None
     logger, log_dir, comment = get_logger(cfg.comment, cfg.save_root)
     parameter_dir = os.path.join(log_dir, "parameter")
 
@@ -45,6 +49,7 @@ def main(argv=None) -> None:
         variant=cfg.variant,
         batch_size=cfg.batch_size,
         learning_rate=cfg.learning_rate,
+        mesh=mesh,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
         joint_remap=FROM_H36M_TO_MPII,
         flip_prob=0.0,  # the reference never flips H36M
@@ -54,9 +59,12 @@ def main(argv=None) -> None:
     )
     template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     state, start_epoch = resume_or_init(template, parameter_dir)
+    if distributed:
+        state = jax.device_get(state)  # numpy leaves == replicated under jit
     if start_epoch:
         logger.info("Resumed from epoch %d (step %d)", start_epoch, int(state.step))
 
+    primary = jax.process_index() == 0
     writer = TBWriter(log_dir)
     rng = jax.random.PRNGKey(cfg.seed + 1)
     for epoch in range(start_epoch + 1, start_epoch + cfg.epochs_per_run + 1):
@@ -64,7 +72,8 @@ def main(argv=None) -> None:
             state, pipeline, epoch, jax.random.fold_in(rng, epoch),
             log_every=100, logger=logger, group=cfg.steps_per_dispatch,
         )
-        save_checkpoint(parameter_dir, epoch, state)
+        if primary:
+            save_checkpoint(parameter_dir, epoch, state)
         writer.scalar("FT/loss", float(loss), int(state.step))
         logger.info("Epoch %d saved (loss: %f)", epoch, float(loss))
     writer.close()

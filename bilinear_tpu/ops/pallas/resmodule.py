@@ -97,21 +97,6 @@ def _tap_masks(n: int, h: int, w: int):
     return masks
 
 
-def _rev_tap_masks(n: int, h: int, w: int):
-    """Masks for the data-gradient taps: g_a2[p] uses tap t iff position
-    p - (dy*W + dx) exists AND saw p as a valid tap, i.e. (x-dx, y-dy) is
-    in bounds."""
-    q = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    x = q % w
-    y = (q // w) % h
-    masks = []
-    for dy, dx in TAPS:
-        masks.append(
-            (x - dx >= 0) & (x - dx < w) & (y - dy >= 0) & (y - dy < h)
-        )
-    return masks
-
-
 def _roll(a, shift):
     """Circular roll along axis 0 with STATIC shift; jnp.roll semantics
     (out[i] = a[i-shift]). Implemented as two static slices + concat so the
@@ -155,22 +140,6 @@ def _conv3x3(a2, w2, masks, dtype):
             masked.astype(dtype), w2[t], preferred_element_type=jnp.float32
         )
     return acc
-
-
-def _bn_bwd(g_act, y_pre, hhat, gamma, rs, n):
-    """Full train-mode BN+ReLU backward: returns (g_input f32, dgamma, dbeta)
-    where g_input is the grad wrt the BN's input (batch-stat coupling
-    included)."""
-    gy = jnp.where(y_pre > 0.0, g_act, jnp.zeros_like(g_act))
-    dgamma = jnp.sum(gy * hhat, axis=0, keepdims=True)
-    dbeta = jnp.sum(gy, axis=0, keepdims=True)
-    ghat = gy * gamma
-    gh = (rs / n) * (
-        n * ghat
-        - jnp.sum(ghat, axis=0, keepdims=True)
-        - hhat * jnp.sum(ghat * hhat, axis=0, keepdims=True)
-    )
-    return gh, dgamma, dbeta
 
 
 # --------------------------------------------------------------------------
@@ -241,71 +210,181 @@ def res_block_ref(
 # Kernels
 # --------------------------------------------------------------------------
 
+def _chunk(n: int) -> int:
+    """Row-chunk size for in-kernel loops. Whole-batch single-shot kernels
+    make Mosaic materialize full-size (N, C) transients and spill ~100 MB of
+    'registers' to VMEM (measured: 156 MB scoped demand at (8,64,64,256)).
+    Chunked passes over the VMEM-resident scratches keep every transient at
+    (R, C). All N here are powers of two >= 128, so R divides N."""
+    return min(1024, n)
+
+
+_ALIGN = 32  # row alignment satisfying every dtype's sublane count
+
+
+def _margin(w: int) -> int:
+    """Margin rows around the flat array: every 3x3 tap read (offset
+    dy*W + dx, |offset| <= W+1) plus the _ALIGN-window slack must stay in
+    bounds, and the margin itself must be _ALIGN-aligned so interior
+    writes start at provably-aligned rows."""
+    return ((w + _ALIGN + _ALIGN - 1) // _ALIGN) * _ALIGN
+
+
+def _tap_read(ref, m, s, delta, r):
+    """Rows [m+s+delta, m+s+delta+r) of a margined ref. Mosaic requires
+    dynamic-slice starts to be provably sublane-aligned; only the STATIC
+    part (m + delta) is misaligned, so read an aligned window of r + _ALIGN
+    rows and slice the static offset in-register."""
+    ofs = (m + delta) % _ALIGN
+    base = pl.multiple_of(m + s + delta - ofs, _ALIGN)
+    win = ref[pl.ds(base, r + _ALIGN), :]
+    return win[ofs:ofs + r]
+
+
+def _chunk_tap_mask(s, r, h, w, dy, dx):
+    """(R, 1) validity mask of tap (dy, dx) for output rows [s, s+R)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) + s
+    xp = rows % w
+    yp = (rows // w) % h
+    return (xp + dx >= 0) & (xp + dx < w) & (yp + dy >= 0) & (yp + dy < h)
+
+
 def _fwd_kernel_body(refs, *, shape, dtype, train):
-    """Shared forward body. ``refs`` is a dict of pl.Ref by name."""
+    """Shared forward body, chunked. ``refs`` maps names to pl.Ref.
+
+    Persistent VMEM: x (input), out (output), h1 / h2 scratches (N, Ch) and
+    the margin-padded a2 scratch ((N + 2M, Ch)). Every pass walks the rows
+    in R-sized chunks so Mosaic's live values stay (R, C)-sized."""
     b, h, w, ci, ch, co, has_skip = shape
     n = b * h * w
-    x = refs["x"][:]
-    masks = {"fwd": _tap_masks(n, h, w), "w": w}
+    r = _chunk(n)
+    m = _margin(w)
+    steps = n // r
+    f32 = jnp.float32
 
-    def stats_of(t, name_m, name_v):
+    def mean_of(ref, c, lo=0):
+        def body(i, acc):
+            return acc + jnp.sum(
+                ref[pl.ds(lo + i * r, r), :].astype(f32), axis=0,
+                keepdims=True,
+            )
+        s = jax.lax.fori_loop(0, steps, body, jnp.zeros((1, c), f32))
+        return s / n
+
+    def var_of(ref, mean, c, lo=0):
+        def body(i, acc):
+            d = ref[pl.ds(lo + i * r, r), :].astype(f32) - mean
+            return acc + jnp.sum(d * d, axis=0, keepdims=True)
+        s = jax.lax.fori_loop(0, steps, body, jnp.zeros((1, c), f32))
+        return s / n
+
+    def stats_of(ref, c, name_m, name_v, lo=0):
         if train:
-            m, v = _stats(t)
-            refs[name_m][:] = m
-            refs[name_v][:] = v
-            return m, v
+            mean = mean_of(ref, c, lo)
+            var = var_of(ref, mean, c, lo)
+            refs[name_m][:] = mean
+            refs[name_v][:] = var
+            return mean, var
         return refs[name_m][:], refs[name_v][:]
 
-    m1, v1 = stats_of(x, "m1", "v1")
-    a1, _ = _bn_fwd(x, refs["g1"][:], refs["be1"][:], m1, v1)
-    refs["h1"][:] = (
-        jnp.dot(
-            a1.astype(dtype), refs["w1"][:], preferred_element_type=jnp.float32
-        )
-    ).astype(dtype) + refs["b1"][:].astype(dtype)
+    # ---- bn1 + conv1 -> h1 ----
+    m1, v1 = stats_of(refs["x"], ci, "m1", "v1")
+    rs1 = jax.lax.rsqrt(v1 + EPS)
+    g1 = refs["g1"][:]
+    be1 = refs["be1"][:]
+    w1 = refs["w1"][:]
+    b1 = refs["b1"][:].astype(dtype)
 
-    m2, v2 = stats_of(refs["h1"][:], "m2", "v2")
-    a2f, _ = _bn_fwd(refs["h1"][:], refs["g2"][:], refs["be2"][:], m2, v2)
-    refs["a2"][:] = a2f.astype(dtype)
-    refs["h2"][:] = (
-        _conv3x3(refs["a2"][:], refs["w2"][:], masks, dtype)
-    ).astype(dtype) + refs["b2"][:].astype(dtype)
+    def h1_body(i, _):
+        xc = refs["x"][pl.ds(i * r, r), :].astype(f32)
+        a1 = jnp.maximum((xc - m1) * rs1 * g1 + be1, 0.0).astype(dtype)
+        refs["h1"][pl.ds(i * r, r), :] = (
+            jnp.dot(a1, w1, preferred_element_type=f32)
+        ).astype(dtype) + b1
+        return _
 
-    m3, v3 = stats_of(refs["h2"][:], "m3", "v3")
-    a3, _ = _bn_fwd(refs["h2"][:], refs["g3"][:], refs["be3"][:], m3, v3)
-    h3 = (
-        jnp.dot(
-            a3.astype(dtype), refs["w3"][:], preferred_element_type=jnp.float32
-        )
-    ).astype(dtype) + refs["b3"][:].astype(dtype)
+    jax.lax.fori_loop(0, steps, h1_body, 0)
 
+    # ---- bn2 -> a2 (margin scratch) ----
+    m2, v2 = stats_of(refs["h1"], ch, "m2", "v2")
+    rs2 = jax.lax.rsqrt(v2 + EPS)
+    g2 = refs["g2"][:]
+    be2 = refs["be2"][:]
+    refs["a2"][0:m, :] = jnp.zeros((m, ch), dtype)
+    refs["a2"][m + n:m + n + m, :] = jnp.zeros((m, ch), dtype)
+
+    def a2_body(i, _):
+        hc = refs["h1"][pl.ds(i * r, r), :].astype(f32)
+        refs["a2"][pl.ds(m + i * r, r), :] = jnp.maximum(
+            (hc - m2) * rs2 * g2 + be2, 0.0
+        ).astype(dtype)
+        return _
+
+    jax.lax.fori_loop(0, steps, a2_body, 0)
+
+    # ---- conv2 (9 masked shifted matmuls per chunk) -> h2 ----
+    w2 = refs["w2"][:]
+    b2 = refs["b2"][:].astype(dtype)
+
+    def h2_body(i, _):
+        s = i * r
+        acc = jnp.zeros((r, ch), f32)
+        for t, (dy, dx) in enumerate(TAPS):
+            delta = dy * w + dx
+            tap = _tap_read(refs["a2"], m, s, delta, r)
+            mask = _chunk_tap_mask(s, r, h, w, dy, dx)
+            tap = jnp.where(mask, tap, jnp.zeros_like(tap))
+            acc += jnp.dot(tap, w2[t], preferred_element_type=f32)
+        refs["h2"][pl.ds(s, r), :] = acc.astype(dtype) + b2
+        return _
+
+    jax.lax.fori_loop(0, steps, h2_body, 0)
+
+    # ---- bn3 + conv3 + skip -> out ----
+    m3, v3 = stats_of(refs["h2"], ch, "m3", "v3")
+    rs3 = jax.lax.rsqrt(v3 + EPS)
+    g3 = refs["g3"][:]
+    be3 = refs["be3"][:]
+    w3 = refs["w3"][:]
+    b3 = refs["b3"][:].astype(dtype)
     if has_skip:
-        skip = (
-            jnp.dot(
-                x, refs["skip_w"][:], preferred_element_type=jnp.float32
-            )
-        ).astype(dtype) + refs["skip_b"][:].astype(dtype)
-    else:
-        skip = x
-    refs["out"][:] = skip + h3
+        wsk = refs["skip_w"][:]
+        bsk = refs["skip_b"][:].astype(dtype)
+
+    def out_body(i, _):
+        hc = refs["h2"][pl.ds(i * r, r), :].astype(f32)
+        a3 = jnp.maximum((hc - m3) * rs3 * g3 + be3, 0.0).astype(dtype)
+        h3 = (
+            jnp.dot(a3, w3, preferred_element_type=f32)
+        ).astype(dtype) + b3
+        xc = refs["x"][pl.ds(i * r, r), :]
+        if has_skip:
+            skip = (
+                jnp.dot(xc, wsk, preferred_element_type=f32)
+            ).astype(dtype) + bsk
+        else:
+            skip = xc
+        refs["out"][pl.ds(i * r, r), :] = skip + h3
+        return _
+
+    jax.lax.fori_loop(0, steps, out_body, 0)
 
 
-def _bwd_kernel_body(refs, *, shape, dtype):
-    """Backward: recompute activations from x + saved batch stats, then walk
-    the chain in reverse emitting every gradient.
-
-    VMEM liveness discipline: the big per-BN f32 intermediates (hhat, y) are
-    recomputed JUST BEFORE each BN's backward from the resident x/h1/h2
-    scratches rather than kept alive from the recompute phase (an extra
-    handful of elementwise passes, irrelevant for a bandwidth-bound model),
-    and gradients flow between stages in ``dtype`` like XLA's own backward."""
+def _bwd_kernel_body_chunked(refs, *, shape, dtype):
+    """Backward, chunked like the forward. Recomputes h1/a2/h2 from x and
+    the saved batch stats (VMEM-resident recompute), then walks the chain in
+    reverse. BN train-mode backward needs global reductions before the
+    per-row gradient, so each BN costs one accumulate pass + one emit pass;
+    per-chunk matmuls that feed two passes (conv3 dgrad, conv1 dgrad) are
+    recomputed rather than materialized at (N, C). The gy2 tensor reuses the
+    a2 margin scratch (a2 is dead after the conv2 weight-grad pass)."""
     b, h, w, ci, ch, co, has_skip = shape
     n = b * h * w
+    r = _chunk(n)
+    m = _margin(w)
+    steps = n // r
     nf = float(n)
-    x = refs["x"][:]
-    g_out = refs["g_out"][:]
-    fwd_masks = {"fwd": _tap_masks(n, h, w), "w": w}
-    rev_masks = _rev_tap_masks(n, h, w)
+    f32 = jnp.float32
 
     m1, v1 = refs["m1"][:], refs["v1"][:]
     m2, v2 = refs["m2"][:], refs["v2"][:]
@@ -313,126 +392,259 @@ def _bwd_kernel_body(refs, *, shape, dtype):
     rs1 = jax.lax.rsqrt(v1 + EPS)
     rs2 = jax.lax.rsqrt(v2 + EPS)
     rs3 = jax.lax.rsqrt(v3 + EPS)
+    g1 = refs["g1"][:]
+    be1 = refs["be1"][:]
+    g2 = refs["g2"][:]
+    be2 = refs["be2"][:]
+    g3 = refs["g3"][:]
+    be3 = refs["be3"][:]
+    w1 = refs["w1"][:]
+    w2 = refs["w2"][:]
+    w3 = refs["w3"][:]
+    b1 = refs["b1"][:].astype(dtype)
+    b2 = refs["b2"][:].astype(dtype)
 
-    def bn1_act(xv):
-        hhat = (xv.astype(jnp.float32) - m1) * rs1
-        y = hhat * refs["g1"][:] + refs["be1"][:]
+    # ---- recompute h1, a2 (margin), h2 ----
+    def rec_h1(i, _):
+        xc = refs["x"][pl.ds(i * r, r), :].astype(f32)
+        a1 = jnp.maximum((xc - m1) * rs1 * g1 + be1, 0.0).astype(dtype)
+        refs["h1"][pl.ds(i * r, r), :] = (
+            jnp.dot(a1, w1, preferred_element_type=f32)
+        ).astype(dtype) + b1
+        return _
+
+    jax.lax.fori_loop(0, steps, rec_h1, 0)
+
+    refs["a2"][0:m, :] = jnp.zeros((m, ch), dtype)
+    refs["a2"][m + n:m + n + m, :] = jnp.zeros((m, ch), dtype)
+
+    def rec_a2(i, _):
+        hc = refs["h1"][pl.ds(i * r, r), :].astype(f32)
+        refs["a2"][pl.ds(m + i * r, r), :] = jnp.maximum(
+            (hc - m2) * rs2 * g2 + be2, 0.0
+        ).astype(dtype)
+        return _
+
+    jax.lax.fori_loop(0, steps, rec_a2, 0)
+
+    def rec_h2(i, _):
+        s = i * r
+        acc = jnp.zeros((r, ch), f32)
+        for t, (dy, dx) in enumerate(TAPS):
+            delta = dy * w + dx
+            tap = _tap_read(refs["a2"], m, s, delta, r)
+            mask = _chunk_tap_mask(s, r, h, w, dy, dx)
+            tap = jnp.where(mask, tap, jnp.zeros_like(tap))
+            acc += jnp.dot(tap, w2[t], preferred_element_type=f32)
+        refs["h2"][pl.ds(s, r), :] = acc.astype(dtype) + b2
+        return _
+
+    jax.lax.fori_loop(0, steps, rec_h2, 0)
+
+    # ---- pass: conv3/skip weight grads + bn3 reduction accumulators ----
+    def bn3_act(i):
+        hc = refs["h2"][pl.ds(i * r, r), :].astype(f32)
+        hhat = (hc - m3) * rs3
+        y = hhat * g3 + be3
         return hhat, y
 
-    def bn2_act(h1v):
-        hhat = (h1v.astype(jnp.float32) - m2) * rs2
-        y = hhat * refs["g2"][:] + refs["be2"][:]
-        return hhat, y
-
-    def bn3_act(h2v):
-        hhat = (h2v.astype(jnp.float32) - m3) * rs3
-        y = hhat * refs["g3"][:] + refs["be3"][:]
-        return hhat, y
-
-    # ---- recompute forward (h1/a2/h2 persisted in scratch) ----
-    _, y1 = bn1_act(x)
-    refs["h1"][:] = (
-        jnp.dot(
-            jnp.maximum(y1, 0.0).astype(dtype), refs["w1"][:],
-            preferred_element_type=jnp.float32,
+    def gy3_of(i):
+        hhat3, y3 = bn3_act(i)
+        ga3 = jax.lax.dot_general(
+            refs["g_out"][pl.ds(i * r, r), :], w3,
+            (((1,), (1,)), ((), ())), preferred_element_type=f32,
         )
-    ).astype(dtype) + refs["b1"][:].astype(dtype)
-    del y1
+        return jnp.where(y3 > 0.0, ga3, jnp.zeros_like(ga3)), hhat3
 
-    _, y2 = bn2_act(refs["h1"][:])
-    refs["a2"][:] = jnp.maximum(y2, 0.0).astype(dtype)
-    del y2
-    refs["h2"][:] = (
-        _conv3x3(refs["a2"][:], refs["w2"][:], fwd_masks, dtype)
-    ).astype(dtype) + refs["b2"][:].astype(dtype)
+    def p5(i, acc):
+        dw3, db3, dg3, dbe3, dwsk = acc
+        goc = refs["g_out"][pl.ds(i * r, r), :]
+        gof = goc.astype(f32)
+        db3 = db3 + jnp.sum(gof, axis=0, keepdims=True)
+        hhat3, y3 = bn3_act(i)
+        a3 = jnp.maximum(y3, 0.0)
+        dw3 = dw3 + jax.lax.dot_general(
+            a3.astype(dtype), goc, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        gy3, _ = gy3_of(i)
+        dg3 = dg3 + jnp.sum(gy3 * hhat3, axis=0, keepdims=True)
+        dbe3 = dbe3 + jnp.sum(gy3, axis=0, keepdims=True)
+        if has_skip:
+            dwsk = dwsk + jax.lax.dot_general(
+                refs["x"][pl.ds(i * r, r), :], goc, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        return (dw3, db3, dg3, dbe3, dwsk)
 
-    # ---- conv3 (+ skip) backward ----
-    hhat3, y3 = bn3_act(refs["h2"][:])
-    a3 = jnp.maximum(y3, 0.0).astype(dtype)
-    refs["db3"][:] = jnp.sum(
-        g_out.astype(jnp.float32), axis=0, keepdims=True
+    dw3, db3, dg3, dbe3, dwsk = jax.lax.fori_loop(
+        0, steps, p5,
+        (
+            jnp.zeros((ch, co), f32), jnp.zeros((1, co), f32),
+            jnp.zeros((1, ch), f32), jnp.zeros((1, ch), f32),
+            jnp.zeros((ci, co), f32),
+        ),
     )
-    refs["dw3"][:] = jax.lax.dot_general(
-        a3, g_out, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    del a3
-    g_a3 = jax.lax.dot_general(
-        g_out, refs["w3"][:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dtype)
-
-    g_h2, dg3, dbe3 = _bn_bwd(
-        g_a3.astype(jnp.float32), y3, hhat3, refs["g3"][:], rs3, nf
-    )
-    del g_a3, y3, hhat3
+    refs["dw3"][:] = dw3
+    refs["db3"][:] = db3
     refs["dg3"][:] = dg3
     refs["dbe3"][:] = dbe3
-    g_h2 = g_h2.astype(dtype)
+    if has_skip:
+        refs["dskip_w"][:] = dwsk
+        refs["dskip_b"][:] = db3
 
-    # ---- conv2 backward ----
-    refs["db2"][:] = jnp.sum(g_h2.astype(jnp.float32), axis=0, keepdims=True)
-    g_a2_acc = jnp.zeros((n, ch), jnp.float32)
-    for t, (dy, dx) in enumerate(TAPS):
-        delta = dy * w + dx
-        shifted_a2 = jnp.where(
-            fwd_masks["fwd"][t], _roll(refs["a2"][:], -delta),
-            jnp.zeros((n, ch), dtype),
-        )
-        refs["dw2"][t] = jax.lax.dot_general(
-            shifted_a2, g_h2, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        contrib = jax.lax.dot_general(
-            _roll(g_h2, delta), refs["w2"][t], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        g_a2_acc += jnp.where(
-            rev_masks[t], contrib, jnp.zeros_like(contrib)
+    # ---- pass: emit g_h2 into the margin scratch ----
+    sum_ghat3 = g3 * dbe3
+    sum_ghat_hhat3 = g3 * dg3
+    refs["gh2"][0:m, :] = jnp.zeros((m, ch), dtype)
+    refs["gh2"][m + n:m + n + m, :] = jnp.zeros((m, ch), dtype)
+
+    def p6(i, _):
+        gy3, hhat3 = gy3_of(i)
+        ghat = gy3 * g3
+        gh2 = (rs3 / nf) * (nf * ghat - sum_ghat3 - hhat3 * sum_ghat_hhat3)
+        refs["gh2"][pl.ds(m + i * r, r), :] = gh2.astype(dtype)
+        return _
+
+    jax.lax.fori_loop(0, steps, p6, 0)
+
+    # ---- pass: conv2 weight grads ----
+    def p7(i, acc):
+        dw2, db2 = acc
+        s = i * r
+        gh2c = refs["gh2"][pl.ds(m + s, r), :]
+        db2 = db2 + jnp.sum(gh2c.astype(f32), axis=0, keepdims=True)
+        new = []
+        for t, (dy, dx) in enumerate(TAPS):
+            delta = dy * w + dx
+            tap = _tap_read(refs["a2"], m, s, delta, r)
+            mask = _chunk_tap_mask(s, r, h, w, dy, dx)
+            tap = jnp.where(mask, tap, jnp.zeros_like(tap))
+            new.append(jax.lax.dot_general(
+                tap, gh2c, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            ))
+        return (dw2 + jnp.stack(new), db2)
+
+    dw2, db2 = jax.lax.fori_loop(
+        0, steps, p7,
+        (jnp.zeros((9, ch, ch), f32), jnp.zeros((1, ch), f32)),
+    )
+    refs["dw2"][:] = dw2
+    refs["db2"][:] = db2
+
+    # ---- pass: g_a2 -> gy2 (reuse a2 scratch) + bn2 reductions ----
+    def bn2_act(i):
+        hc = refs["h1"][pl.ds(i * r, r), :].astype(f32)
+        hhat = (hc - m2) * rs2
+        return hhat, hhat * g2 + be2
+
+    def ga2_of(i):
+        s = i * r
+        acc = jnp.zeros((r, ch), f32)
+        for t, (dy, dx) in enumerate(TAPS):
+            delta = dy * w + dx
+            contrib = jax.lax.dot_general(
+                _tap_read(refs["gh2"], m, s, -delta, r), w2[t],
+                (((1,), (1,)), ((), ())), preferred_element_type=f32,
+            )
+            mask = _chunk_tap_mask(s, r, h, w, -dy, -dx)
+            acc += jnp.where(mask, contrib, jnp.zeros_like(contrib))
+        return acc
+
+    def p8(i, acc):
+        dg2, dbe2 = acc
+        hhat2, y2 = bn2_act(i)
+        gy2 = jnp.where(y2 > 0.0, ga2_of(i), jnp.zeros((r, ch), f32))
+        refs["a2"][pl.ds(m + i * r, r), :] = gy2.astype(dtype)
+        return (
+            dg2 + jnp.sum(gy2 * hhat2, axis=0, keepdims=True),
+            dbe2 + jnp.sum(gy2, axis=0, keepdims=True),
         )
 
-    hhat2, y2 = bn2_act(refs["h1"][:])
-    g_h1, dg2, dbe2 = _bn_bwd(g_a2_acc, y2, hhat2, refs["g2"][:], rs2, nf)
-    del g_a2_acc, y2, hhat2
+    dg2, dbe2 = jax.lax.fori_loop(
+        0, steps, p8,
+        (jnp.zeros((1, ch), f32), jnp.zeros((1, ch), f32)),
+    )
     refs["dg2"][:] = dg2
     refs["dbe2"][:] = dbe2
-    g_h1 = g_h1.astype(dtype)
 
-    # ---- conv1 backward ----
-    hhat1, y1 = bn1_act(x)
-    a1 = jnp.maximum(y1, 0.0).astype(dtype)
-    refs["db1"][:] = jnp.sum(g_h1.astype(jnp.float32), axis=0, keepdims=True)
-    refs["dw1"][:] = jax.lax.dot_general(
-        a1, g_h1, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    del a1
-    g_a1 = jax.lax.dot_general(
-        g_h1, refs["w1"][:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dtype)
+    # ---- pass: g_h1 ----
+    sum_ghat2 = g2 * dbe2
+    sum_ghat_hhat2 = g2 * dg2
 
-    g_x_main, dg1, dbe1 = _bn_bwd(
-        g_a1.astype(jnp.float32), y1, hhat1, refs["g1"][:], rs1, nf
+    def p9(i, _):
+        gy2 = refs["a2"][pl.ds(m + i * r, r), :].astype(f32)
+        hhat2, _y = bn2_act(i)
+        ghat = gy2 * g2
+        gh1 = (rs2 / nf) * (nf * ghat - sum_ghat2 - hhat2 * sum_ghat_hhat2)
+        refs["gh1"][pl.ds(i * r, r), :] = gh1.astype(dtype)
+        return _
+
+    jax.lax.fori_loop(0, steps, p9, 0)
+
+    # ---- pass: conv1 grads + bn1 reductions ----
+    def bn1_act(i):
+        xc = refs["x"][pl.ds(i * r, r), :].astype(f32)
+        hhat = (xc - m1) * rs1
+        return hhat, hhat * g1 + be1
+
+    def p10(i, acc):
+        dw1, db1, dg1, dbe1 = acc
+        gh1c = refs["gh1"][pl.ds(i * r, r), :]
+        db1 = db1 + jnp.sum(gh1c.astype(f32), axis=0, keepdims=True)
+        hhat1, y1 = bn1_act(i)
+        a1 = jnp.maximum(y1, 0.0).astype(dtype)
+        dw1 = dw1 + jax.lax.dot_general(
+            a1, gh1c, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        ga1 = jax.lax.dot_general(
+            gh1c, w1, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+        gy1 = jnp.where(y1 > 0.0, ga1, jnp.zeros_like(ga1))
+        dg1 = dg1 + jnp.sum(gy1 * hhat1, axis=0, keepdims=True)
+        dbe1 = dbe1 + jnp.sum(gy1, axis=0, keepdims=True)
+        return (dw1, db1, dg1, dbe1)
+
+    dw1, db1, dg1, dbe1 = jax.lax.fori_loop(
+        0, steps, p10,
+        (
+            jnp.zeros((ci, ch), f32), jnp.zeros((1, ch), f32),
+            jnp.zeros((1, ci), f32), jnp.zeros((1, ci), f32),
+        ),
     )
-    del g_a1, y1, hhat1
+    refs["dw1"][:] = dw1
+    refs["db1"][:] = db1
     refs["dg1"][:] = dg1
     refs["dbe1"][:] = dbe1
 
-    # ---- skip path ----
+    # ---- pass: g_x ----
+    sum_ghat1 = g1 * dbe1
+    sum_ghat_hhat1 = g1 * dg1
     if has_skip:
-        refs["dskip_b"][:] = refs["db3"][:]
-        refs["dskip_w"][:] = jax.lax.dot_general(
-            x, g_out, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        wsk = refs["skip_w"][:]
+
+    def p11(i, _):
+        hhat1, y1 = bn1_act(i)
+        ga1 = jax.lax.dot_general(
+            refs["gh1"][pl.ds(i * r, r), :], w1,
+            (((1,), (1,)), ((), ())), preferred_element_type=f32,
         )
-        g_skip = jax.lax.dot_general(
-            g_out, refs["skip_w"][:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        g_skip = g_out.astype(jnp.float32)
-    refs["g_x"][:] = (g_x_main + g_skip).astype(dtype)
+        gy1 = jnp.where(y1 > 0.0, ga1, jnp.zeros_like(ga1))
+        ghat = gy1 * g1
+        gx = (rs1 / nf) * (nf * ghat - sum_ghat1 - hhat1 * sum_ghat_hhat1)
+        goc = refs["g_out"][pl.ds(i * r, r), :]
+        if has_skip:
+            gx = gx + jax.lax.dot_general(
+                goc, wsk, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        else:
+            gx = gx + goc.astype(f32)
+        refs["g_x"][pl.ds(i * r, r), :] = gx.astype(dtype)
+        return _
+
+    jax.lax.fori_loop(0, steps, p11, 0)
 
 
 _PARAM_NAMES = (
@@ -505,9 +717,9 @@ def _build_fwd(shape, dtype_name, train, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shape
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, ch), dtype),  # h1
-            pltpu.VMEM((n, ch), dtype),  # a2
-            pltpu.VMEM((n, ch), dtype),  # h2
+            pltpu.VMEM((n, ch), dtype),                    # h1
+            pltpu.VMEM((n + 2 * _margin(w), ch), dtype),   # a2 (margined)
+            pltpu.VMEM((n, ch), dtype),                    # h2
         ],
         compiler_params=_vmem_params(),
         interpret=interpret,
@@ -536,9 +748,9 @@ def _build_bwd(shape, dtype_name, interpret):
     ] + (["dskip_w", "dskip_b"] if has_skip else [])
 
     def kernel(*refs_flat):
-        names = in_names + out_names + ["h1", "a2", "h2"]
+        names = in_names + out_names + ["h1", "a2", "h2", "gh2", "gh1"]
         refs = dict(zip(names, refs_flat))
-        _bwd_kernel_body(refs, shape=shape, dtype=dtype)
+        _bwd_kernel_body_chunked(refs, shape=shape, dtype=dtype)
 
     f32 = jnp.float32
     out_shape = [
@@ -570,9 +782,11 @@ def _build_bwd(shape, dtype_name, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shape
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, ch), dtype),  # h1
-            pltpu.VMEM((n, ch), dtype),  # a2
-            pltpu.VMEM((n, ch), dtype),  # h2
+            pltpu.VMEM((n, ch), dtype),                    # h1
+            pltpu.VMEM((n + 2 * _margin(w), ch), dtype),   # a2/gy2 (margined)
+            pltpu.VMEM((n, ch), dtype),                    # h2
+            pltpu.VMEM((n + 2 * _margin(w), ch), dtype),   # g_h2 (margined)
+            pltpu.VMEM((n, ch), dtype),                    # g_h1
         ],
         compiler_params=_vmem_params(),
         interpret=interpret,
