@@ -110,3 +110,31 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape[-1] == 48
     ge.dryrun_multichip(8)
+
+
+def test_global_from_host_shards_batch_axis(data):
+    """global_from_host builds 'data'-sharded global arrays from host data
+    every process holds in full (the multi-host bilinear CLI path); on a
+    single process it must equal a plain device_put."""
+    x, y = data
+    mesh = mesh_lib.make_mesh(jax.devices())
+    gx, gy = mesh_lib.global_from_host(mesh, (x, y))
+    assert gx.shape == x.shape and gy.shape == y.shape
+    np.testing.assert_array_equal(np.asarray(gx), x)
+    np.testing.assert_array_equal(np.asarray(gy), y)
+    # Leading axis genuinely sharded over 'data'.
+    assert gx.sharding.spec == P(mesh_lib.DATA_AXIS, None)
+    shard_rows = {s.index[0].start or 0 for s in gx.addressable_shards}
+    assert len(shard_rows) == mesh.shape[mesh_lib.DATA_AXIS]
+
+
+def test_global_batch_single_process_matches_shard_batch(data):
+    """With one process, global_batch (the multi-process contract) must
+    assemble the same global arrays as shard_batch."""
+    x, y = data
+    mesh = mesh_lib.make_mesh(jax.devices())
+    a = mesh_lib.global_batch(mesh, {"x": x, "y": y})
+    b = mesh_lib.shard_batch(mesh, {"x": x, "y": y})
+    for k in ("x", "y"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        assert a[k].sharding == b[k].sharding
