@@ -75,8 +75,10 @@ def main(argv=None) -> None:
         # Per-step scalars, matching the reference's granularity
         # (train_bilinear.py:86). The loss array is already on host after
         # one fetch; steps for this epoch end at st.step.
+        # st.step is post-incremented (starts at 1, n steps -> n+1), so this
+        # epoch's losses belong to steps [st.step - len, st.step).
         loss_arr = np.asarray(losses, np.float32)
-        first_step = int(st.step) - len(loss_arr) + 1
+        first_step = int(st.step) - len(loss_arr)
         for i, loss in enumerate(loss_arr):
             writer.scalar("BI/loss", float(loss), first_step + i)
         logger.info("Epoch %d saved (loss: %f)", epoch, float(loss_arr[-1]))

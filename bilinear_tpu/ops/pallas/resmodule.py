@@ -215,8 +215,12 @@ def _chunk(n: int) -> int:
     make Mosaic materialize full-size (N, C) transients and spill ~100 MB of
     'registers' to VMEM (measured: 156 MB scoped demand at (8,64,64,256)).
     Chunked passes over the VMEM-resident scratches keep every transient at
-    (R, C). All N here are powers of two >= 128, so R divides N."""
-    return min(1024, n)
+    (R, C). R must DIVIDE N (the pass loops run n // r steps) — halve until
+    it does, so odd batch sizes (tail batches) stay correct."""
+    r = min(1024, n)
+    while n % r:
+        r //= 2
+    return r
 
 
 _ALIGN = 32  # row alignment satisfying every dtype's sublane count

@@ -150,6 +150,7 @@ class End2EndServer:
         self.parameter_dir = parameter_dir
         self.epoch = epoch
         self._compiled = {}
+        self._template = None  # set by from_run_dir; required for reload()
 
     @classmethod
     def from_run_dir(cls, run_dir: str, split: H36MSplit, variant="torch7",
@@ -178,7 +179,7 @@ class End2EndServer:
     def reload(self) -> bool:
         """Swap in the newest checkpoint if one landed since construction.
         Returns True when weights changed."""
-        if self.parameter_dir is None:
+        if self.parameter_dir is None or self._template is None:
             return False
         newest = latest_epoch(self.parameter_dir)
         if newest <= self.epoch:

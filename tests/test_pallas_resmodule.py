@@ -159,6 +159,30 @@ def test_kernel_forward_matches_ref(ci, co, dtype):
         )
 
 
+def test_kernel_odd_batch_chunking():
+    """N = 5*16*16 = 1280 is not divisible by the default 1024-row chunk;
+    _chunk must halve until it divides (tail batches in fit_epoch hit this)
+    and the kernel must still process EVERY row."""
+    from bilinear_tpu.ops.pallas.resmodule import _chunk
+
+    assert 1280 % _chunk(1280) == 0
+
+    ci = co = 16
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(5, 16, 16, ci).astype(np.float32))
+    module = ResModule(ci, co)
+    variables = module.init(jax.random.PRNGKey(0), x, train=False)
+    p, _ = _to_resparams(variables, ci, co)
+    out_ref, stats_ref = res_block_ref(x, p, train=True, dtype=jnp.float32)
+    out_k, stats_k = res_block_train(x, p, dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats_k.m3), np.asarray(stats_ref.m3), rtol=1e-5, atol=1e-6
+    )
+
+
 @pytest.mark.parametrize("ci,co", [(16, 16), (8, 16)])
 def test_kernel_backward_matches_autodiff(ci, co):
     x, module, variables = _make_case(ci, co)
