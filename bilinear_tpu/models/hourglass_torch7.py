@@ -132,7 +132,16 @@ class ResModule(nn.Module):
             momentum = self.momentum
         half = self.out_channels // 2
         if self.fused:
-            return self._fused(x, train=train, momentum=momentum, half=half)
+            from bilinear_tpu.ops.pallas.resmodule import fits_vmem
+
+            # Oversized blocks (the 128x128 stem at batch 8) exceed VMEM for
+            # the whole-block kernels; they take the standard conv path. The
+            # variable trees of the two branches are identical, so the choice
+            # is purely an execution-path decision.
+            b, hh, ww, _ = x.shape
+            if fits_vmem(b, hh, ww, self.in_channels, half,
+                         self.out_channels, self.dtype):
+                return self._fused(x, train=train, momentum=momentum, half=half)
 
         def bn(name, h):
             return TorchBatchNorm(momentum=self.momentum, dtype=jnp.promote_types(jnp.float32, self.dtype), name=name)(

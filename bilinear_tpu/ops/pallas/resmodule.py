@@ -662,6 +662,21 @@ def _vmem_params(limit_mb: int = 120):
     return pltpu.CompilerParams(vmem_limit_bytes=limit_mb * 1024 * 1024)
 
 
+def fits_vmem(b, h, w, ci, ch, co, dtype, budget_mb: int = 118) -> bool:
+    """Whether the whole-block kernels fit the v5e VMEM at this shape. The
+    backward dominates: x + g_out + g_x + out-window (2N(ci+co)) plus five
+    (N, Ch)-class scratches (h1, a2+margin, h2, g_h2+margin, g_h1). The
+    128x128 stem block fails this (measured: 166 MB demanded) and falls
+    back to the standard conv path."""
+    n = b * h * w
+    itemsize = jnp.dtype(dtype).itemsize
+    margin_rows = 2 * _margin(w)
+    bwd = itemsize * (
+        2 * n * (ci + co) + ch * (3 * n + 2 * (n + margin_rows))
+    )
+    return bwd <= budget_mb * 1024 * 1024
+
+
 def _as_rows(v):
     """(C,) param vectors -> (1, C) rows (TPU wants 2D)."""
     return v.reshape(1, -1).astype(jnp.float32)

@@ -159,6 +159,19 @@ def test_kernel_forward_matches_ref(ci, co, dtype):
         )
 
 
+def test_fits_vmem_gate():
+    """The dominant hourglass-body shapes fit the whole-block kernels; the
+    128x128 stem block does not (measured 166 MB demanded on-chip) and must
+    fall back to the standard conv path."""
+    from bilinear_tpu.ops.pallas.resmodule import fits_vmem
+
+    assert fits_vmem(8, 64, 64, 256, 128, 256, jnp.bfloat16)
+    assert fits_vmem(8, 64, 64, 128, 128, 256, jnp.bfloat16)
+    assert not fits_vmem(8, 128, 128, 64, 64, 128, jnp.bfloat16)
+    # f32 doubles every buffer; the dominant body shape stops fitting.
+    assert not fits_vmem(8, 64, 64, 256, 128, 256, jnp.float32)
+
+
 def test_kernel_odd_batch_chunking():
     """N = 5*16*16 = 1280 is not divisible by the default 1024-row chunk;
     _chunk must halve until it divides (tail batches in fit_epoch hit this)
