@@ -62,10 +62,19 @@ def save_checkpoint(parameter_dir: str, epoch: int, state,
 
     def write():
         with _async_lock:
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
-            os.replace(tmp, path)
+            # Per-process tmp name: two processes sharing a save dir (e.g. an
+            # orphaned trainer overlapping its relaunch after a crash) must not
+            # clobber each other's in-progress file — with a fixed ".tmp" name
+            # the loser's os.replace raises FileNotFoundError after the winner
+            # renames it away (observed in the round-3 budget run).
+            tmp = f"{path}.tmp.{os.getpid()}"
+            try:
+                with open(tmp, "wb") as f:
+                    pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+                os.replace(tmp, path)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
 
     if async_save:
         t = threading.Thread(target=write, daemon=True)

@@ -29,15 +29,21 @@ def _build() -> Optional[str]:
     so_path = os.path.join(cache, f"fastpack_{digest}.so")
     if os.path.exists(so_path):
         return so_path
+    # Per-process tmp name so concurrent first-time builds (two CLIs racing
+    # on a cold cache) cannot rename each other's half-written .so away.
+    tmp = f"{so_path}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", so_path + ".tmp", _SRC,
+        "-o", tmp, _SRC,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so_path)
     except Exception:
         return None
-    os.replace(so_path + ".tmp", so_path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return so_path
 
 

@@ -119,3 +119,64 @@ def test_hourglass_resume_equivalence(tmp_path):
     _assert_trees_equal(r2.params, s.params)
     _assert_trees_equal(r2.opt_state, s.opt_state)
     _assert_trees_equal(r2.batch_stats, s.batch_stats)
+
+
+_CONCURRENT_WRITER = """
+import sys
+import numpy as np
+from types import SimpleNamespace
+from bilinear_tpu.io.checkpoint import save_checkpoint
+
+pdir = sys.argv[1]
+state = SimpleNamespace(
+    step=7,
+    params={"w": np.arange(1 << 16, dtype=np.float32)},
+    batch_stats={},
+    opt_state={},
+)
+for epoch in range(1, 16):
+    save_checkpoint(pdir, epoch, state)
+print("WRITER_OK")
+"""
+
+
+def test_concurrent_checkpoint_writers_do_not_race(tmp_path):
+    """Two processes saving the same epochs into one save dir must both
+    succeed (regression: the fixed '{epoch}.save.tmp' name let the winner's
+    os.replace rename the loser's in-progress tmp away, crashing the loser
+    with FileNotFoundError — observed when an orphaned trainer overlapped
+    its relaunch in the round-3 budget run)."""
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env = dict(_os.environ)
+    env["PYTHONPATH"] = repo + _os.pathsep + env.get("PYTHONPATH", "")
+    pdir = str(tmp_path / "parameter")
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _CONCURRENT_WRITER, pdir],
+            cwd=repo,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for _ in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-4000:]
+        assert "WRITER_OK" in out
+
+    assert latest_epoch(pdir) == 15
+    for epoch in range(1, 16):
+        payload = load_checkpoint(pdir, epoch)
+        np.testing.assert_array_equal(
+            payload["state"]["params"]["w"],
+            np.arange(1 << 16, dtype=np.float32),
+        )
+    # no tmp litter left behind
+    leftovers = [f for f in _os.listdir(pdir) if ".tmp" in f]
+    assert leftovers == []
