@@ -1,0 +1,223 @@
+"""Int8-quantized lifting inference: the four 1024x1024 hidden matmuls (98%
+of the network's FLOPs) run on the MXU in int8, doubling the systolic array's
+peak rate on v5e-class chips (int8 ~2x bf16 MACs/cycle).
+
+The bf16 kernel (ops/pallas/lifting.py) already sits at ~90% of bf16 peak —
+the only remaining throughput lever for the headline lifting-service path is
+a narrower MAC. This is an OPTIONAL serving mode (``LiftingServer(...,
+quantize="int8")``): training and the default path stay bf16/f32.
+
+Scheme (standard dynamic-activation post-training quantization):
+- weights: BN folded into the Linear first (lifting.fold_bn — exactly
+  equivalent), then symmetric per-output-channel int8
+  (``wq[:, j] = round(W[:, j] / s_j)``, ``s_j = max|W[:, j]| / 127``).
+  Folding BEFORE quantizing matters: BN rescales each output channel, and
+  per-channel scales absorb that exactly.
+- activations: symmetric per-batch-tile dynamic scale (``s_x = max|h| /
+  127``), computed on the VPU per 512-row tile; h >= 0 after ReLU so this
+  loses one sign bit, which the MPJPE-delta test shows is immaterial.
+- accumulation: int8 x int8 -> int32 on the MXU, dequantized as
+  ``y = acc * (s_x * s_w[None, :]) + b`` in f32.
+- encode (32x1024) and decode (1024x48) stay bf16: together they are ~2% of
+  FLOPs and their odd shapes would pad badly to int8 MXU tiles.
+
+Both a Pallas whole-network kernel (weights VMEM-resident, zero HBM traffic
+for intermediates — same structure as the bf16 kernel) and an XLA reference
+path (``backend="xla"``) are provided; the XLA path is the correctness
+oracle in tests and the fallback if Mosaic rejects int8 dots.
+
+Reference model being served: /root/reference/model/bilinear.py:31-41
+(BilinearUnit); the reference has no quantized path — this is TPU-native
+added value, accuracy-gated by tests/test_lifting_int8.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bilinear_tpu.ops.pallas.lifting import (
+    HIDDEN,
+    IN_F,
+    OUT_F,
+    TILE,
+    fold_bn,
+)
+
+_HIDDEN_NAMES = ["bilinear_0_0", "bilinear_0_1", "bilinear_1_0", "bilinear_1_1"]
+
+
+def quantize_weight(w):
+    """Symmetric per-output-channel int8. Returns (wq int8 (in, out),
+    scale f32 (out,))."""
+    amax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    return wq, scale.astype(jnp.float32)
+
+
+def prepare_weights_int8(params, batch_stats):
+    """Fold BN, quantize the four hidden layers, keep encode/decode bf16.
+    Do this ONCE per checkpoint. Returns a dict pytree."""
+    def folded(name):
+        return fold_bn(
+            params[name]["linear"]["kernel"],
+            params[name]["linear"]["bias"],
+            batch_stats[name]["bn"] | {
+                "scale": params[name]["bn"]["scale"],
+                "bias": params[name]["bn"]["bias"],
+            },
+        )
+
+    enc_w, enc_b = folded("encode")
+    hidden = []
+    for name in _HIDDEN_NAMES:
+        w, b = folded(name)
+        wq, ws = quantize_weight(w)
+        hidden.append((wq, ws, b.astype(jnp.float32)))
+    return {
+        "encode": (enc_w.astype(jnp.bfloat16), enc_b.astype(jnp.float32)),
+        "hidden": hidden,
+        "decode": (
+            params["decode"]["kernel"].astype(jnp.bfloat16),
+            params["decode"]["bias"].astype(jnp.float32),
+        ),
+    }
+
+
+def _quant_dot(h, wq, ws, b):
+    """relu((q(h) @ wq) * (s_x * s_w) + b) for one f32 activation block.
+    Works identically inside the Pallas kernel and under XLA."""
+    amax = jnp.max(jnp.abs(h))
+    s_x = jnp.maximum(amax, 1e-12) / 127.0
+    hq = jnp.clip(jnp.round(h / s_x), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        hq, wq,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (s_x * ws)[None, :] + b[None, :]
+    return jnp.maximum(y, 0.0)
+
+
+def _kernel(x_ref, enc_w, enc_b,
+            w0, s0, b0, w1, s1, b1, w2, s2, b2, w3, s3, b3,
+            dec_w, dec_b, out_ref):
+    h = jnp.dot(
+        x_ref[:], enc_w[:], preferred_element_type=jnp.float32
+    ) + enc_b[:]
+    h = jnp.maximum(h, 0.0)  # f32 activations between quantized layers
+    skip = h
+    h = _quant_dot(h, w0[:], s0[:], b0[:])
+    h = _quant_dot(h, w1[:], s1[:], b1[:])
+    h = h + skip
+    skip = h
+    h = _quant_dot(h, w2[:], s2[:], b2[:])
+    h = _quant_dot(h, w3[:], s3[:], b3[:])
+    h = h + skip
+    out_ref[:] = jnp.dot(
+        h.astype(jnp.bfloat16), dec_w[:], preferred_element_type=jnp.float32
+    ) + dec_b[:]
+
+
+def _flatten(prepared):
+    enc_w, enc_b = prepared["encode"]
+    dec_w, dec_b = prepared["decode"]
+    flat = [enc_w, enc_b]
+    for wq, ws, b in prepared["hidden"]:
+        flat.extend([wq, ws, b])
+    flat.extend([dec_w, dec_b])
+    return flat
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run_pallas(x, flat_weights, interpret: bool = False):
+    n = x.shape[0]
+
+    def w_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((TILE, IN_F), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    in_specs += [w_spec(w.shape) for w in flat_weights]
+
+    return pl.pallas_call(
+        _kernel,
+        grid=(n // TILE,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (TILE, OUT_F), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, OUT_F), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * (IN_F * HIDDEN + 4 * HIDDEN * HIDDEN
+                           + HIDDEN * OUT_F),
+            bytes_accessed=n * (IN_F + OUT_F) * 4
+            + 4 * HIDDEN * HIDDEN
+            + 2 * (IN_F * HIDDEN + HIDDEN * OUT_F),
+            transcendentals=0,
+        ),
+    )(x, *flat_weights)
+
+
+@jax.jit
+def _run_xla(x, prepared):
+    """Same math as the kernel, straight-line XLA — oracle + fallback. The
+    per-TILE dynamic activation scale is reproduced exactly so both backends
+    are bit-comparable."""
+    enc_w, enc_b = prepared["encode"]
+    dec_w, dec_b = prepared["decode"]
+
+    def tile_fn(xt):
+        h = jnp.dot(
+            xt.astype(jnp.bfloat16), enc_w,
+            preferred_element_type=jnp.float32,
+        ) + enc_b
+        h = jnp.maximum(h, 0.0)
+        skip = h
+        (w0, s0, b0), (w1, s1, b1), (w2, s2, b2), (w3, s3, b3) = (
+            prepared["hidden"]
+        )
+        h = _quant_dot(h, w0, s0, b0)
+        h = _quant_dot(h, w1, s1, b1)
+        h = h + skip
+        skip = h
+        h = _quant_dot(h, w2, s2, b2)
+        h = _quant_dot(h, w3, s3, b3)
+        h = h + skip
+        return jnp.dot(
+            h.astype(jnp.bfloat16), dec_w, preferred_element_type=jnp.float32
+        ) + dec_b
+
+    n = x.shape[0]
+    xt = x.reshape(n // TILE, TILE, IN_F)
+    return jax.lax.map(tile_fn, xt).reshape(n, OUT_F)
+
+
+def lifting_forward_int8(
+    params=None, batch_stats=None, x=None, *,
+    prepared=None, backend: str = "pallas", interpret: bool = False,
+):
+    """Drop-in eval-mode forward, int8 hidden layers. Same contract as
+    ``lifting.lifting_forward``: pads the batch to a TILE multiple, unpads
+    the result. Pass ``prepared=prepare_weights_int8(...)`` to amortize."""
+    if prepared is None:
+        prepared = prepare_weights_int8(params, batch_stats)
+    n = x.shape[0]
+    pad = (-n) % TILE
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
+    x = x.astype(jnp.bfloat16)
+    if backend == "pallas":
+        out = _run_pallas(x, _flatten(prepared), interpret=interpret)
+    elif backend == "xla":
+        out = _run_xla(x, prepared)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    return out[:n]
