@@ -29,6 +29,7 @@ from bilinear_tpu.core.initializers import (
     torch_conv_default_kernel,
 )
 from bilinear_tpu.core.norm import TorchBatchNorm
+from bilinear_tpu.ops.int8 import int8_conv
 
 N_STACKS = 8
 N_FEATURES = 256
@@ -125,13 +126,19 @@ class ResModule(nn.Module):
     momentum: Optional[float] = 0.1
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
+    # "int8": eval/serving-only dynamic quantization of the three body convs
+    # (ops/int8.py — per-channel int8 weights, per-sample int8 activations,
+    # int32 MXU accumulation). Train mode and the skip conv stay float; the
+    # variable tree is unchanged, so ordinary checkpoints serve quantized.
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool, momentum="__unset__"):
         if momentum == "__unset__":
             momentum = self.momentum
         half = self.out_channels // 2
-        if self.fused:
+        use_int8 = self.quantize == "int8" and not train
+        if self.fused and not use_int8:
             from bilinear_tpu.ops.pallas.resmodule import fits_vmem
 
             # Oversized blocks (the 128x128 stem at batch 8) exceed VMEM for
@@ -156,12 +163,22 @@ class ResModule(nn.Module):
         )
         skip = skip_conv(x) if self.in_channels != self.out_channels else x
 
+        def body_conv(name, h, feats, kernel, fan_in):
+            if use_int8:
+                # Same param names/shapes/inits as nn.Conv (_ConvP mirrors
+                # them), applied through the dynamic-int8 conv instead.
+                k, b = _ConvP((kernel, kernel, h.shape[-1], feats), fan_in,
+                              name=name)()
+                return int8_conv(h, k, b)
+            return _conv(feats, kernel, name, dtype=self.dtype,
+                         fan_in=fan_in)(h)
+
         h = nn.relu(bn("bn1", x))
-        h = _conv(half, 1, "conv1", dtype=self.dtype, fan_in=self.in_channels)(h)
+        h = body_conv("conv1", h, half, 1, self.in_channels)
         h = nn.relu(bn("bn2", h))
-        h = _conv(half, 3, "conv2", dtype=self.dtype, fan_in=half * 9)(h)
+        h = body_conv("conv2", h, half, 3, half * 9)
         h = nn.relu(bn("bn3", h))
-        h = _conv(self.out_channels, 1, "conv3", dtype=self.dtype, fan_in=half)(h)
+        h = body_conv("conv3", h, self.out_channels, 1, half)
         return skip + h
 
     def _fused(self, x, *, train: bool, momentum, half: int):
@@ -232,12 +249,14 @@ class Hourglass(nn.Module):
     momentum: Optional[float] = 0.1
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool, momentum="__unset__"):
         if momentum == "__unset__":
             momentum = self.momentum
-        kw = dict(momentum=self.momentum, dtype=self.dtype, fused=self.fused)
+        kw = dict(momentum=self.momentum, dtype=self.dtype, fused=self.fused,
+                  quantize=self.quantize)
         up = ResModule(self.features, self.features, name="res1", **kw)(
             x, train=train, momentum=momentum
         )
@@ -248,7 +267,7 @@ class Hourglass(nn.Module):
         if self.depth > 1:
             low = Hourglass(
                 self.depth - 1, self.features, self.momentum, self.dtype,
-                self.fused, name="sub",
+                self.fused, self.quantize, name="sub",
             )(low, train=train, momentum=momentum)
         else:
             low = ResModule(self.features, self.features, name="waist", **kw)(
@@ -293,13 +312,15 @@ class MainModel(nn.Module):
     momentum: Optional[float] = 0.1
     dtype: jnp.dtype = jnp.float32
     fused: bool = False  # whole-block Pallas ResModules (ops/pallas/resmodule)
+    quantize: Optional[str] = None  # "int8": eval/serving-only (ops/int8.py)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, momentum="__unset__"):
         if momentum == "__unset__":
             momentum = self.momentum
         x = x.astype(self.dtype)
-        kw = dict(momentum=self.momentum, dtype=self.dtype, fused=self.fused)
+        kw = dict(momentum=self.momentum, dtype=self.dtype, fused=self.fused,
+                  quantize=self.quantize)
 
         h = _conv(64, 7, "stem_conv", stride=2, dtype=self.dtype, fan_in=3 * 49)(x)
         h = TorchBatchNorm(momentum=self.momentum, dtype=jnp.promote_types(jnp.float32, self.dtype), name="stem_bn")(
@@ -317,7 +338,7 @@ class MainModel(nn.Module):
         for i in range(self.n_stacks):
             ll = Hourglass(
                 self.depth, self.features, self.momentum, self.dtype,
-                self.fused, name=f"hg_{i}",
+                self.fused, self.quantize, name=f"hg_{i}",
             )(inter, train=train, momentum=momentum)
             ll = Lin(self.features, self.momentum, self.dtype, name=f"lin_{i}")(
                 ll, train=train, momentum=momentum

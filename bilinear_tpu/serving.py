@@ -156,10 +156,19 @@ class End2EndServer:
         model_kw: Optional[dict] = None,
         parameter_dir: Optional[str] = None,
         epoch: int = 0,
+        quantize: Optional[str] = None,
     ):
+        """``quantize="int8"`` serves the detector's body convs as dynamic
+        int8 MXU convolutions (ops/int8.py) — same checkpoints, eval-only;
+        accuracy-gated by tests/test_hourglass_int8.py."""
         from bilinear_tpu.models.end2end import End2End
 
-        self.model = End2End(variant=variant, dtype=dtype, **(model_kw or {}))
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unsupported quantize mode {quantize!r}")
+        self.model = End2End(
+            variant=variant, dtype=dtype, quantize=quantize,
+            **(model_kw or {}),
+        )
         self._variables = variables
         self._mean_part = jnp.asarray(mean_part)
         self._std_part = jnp.asarray(std_part)
