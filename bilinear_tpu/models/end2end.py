@@ -43,19 +43,15 @@ class End2End(nn.Module):
     features: int = None
     depth: int = None
     fused: bool = False
-    # "int8": eval-only dynamic-int8 detector convs (ops/int8.py). The
-    # lifting stage keeps its own quantized kernel path (LiftingServer);
-    # here it stays in self.dtype — it is ~0.1% of the program's FLOPs.
+    # "int8": eval-only dynamic-int8 detector convs (ops/int8.py), both
+    # variants. The lifting stage keeps its own quantized kernel path
+    # (LiftingServer); here it stays in self.dtype — it is ~0.1% of the
+    # program's FLOPs.
     quantize: str = None
 
     def setup(self):
-        kw = {}
-        if self.quantize is not None and self.variant != "torch7":
-            raise ValueError(
-                "quantize is supported for the torch7 detector variant only"
-            )
+        kw = {"quantize": self.quantize}
         if self.variant == "torch7":
-            kw["quantize"] = self.quantize
             if self.n_stacks is not None:
                 kw["n_stacks"] = self.n_stacks
             if self.features is not None:

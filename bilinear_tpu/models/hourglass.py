@@ -30,6 +30,7 @@ from bilinear_tpu.core.initializers import (
     torch_conv_default_kernel,
 )
 from bilinear_tpu.core.norm import TorchBatchNorm
+from bilinear_tpu.ops.int8 import int8_conv
 
 
 def _conv(features, kernel, name, stride=1, bias=False, dtype=jnp.float32,
@@ -48,14 +49,39 @@ def _conv(features, kernel, name, stride=1, bias=False, dtype=jnp.float32,
     )
 
 
+class _ConvP(nn.Module):
+    """Parameter holder mirroring nn.Conv's variable names/shapes/inits
+    (optional bias, matching _conv's use_bias/fan_in semantics), so the
+    int8 path's checkpoint tree is identical to the standard path's."""
+
+    kshape: tuple
+    bias: bool = False
+    fan_in: Optional[int] = None
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_conv_default_kernel(), self.kshape)
+        b = None
+        if self.bias:
+            init = (torch_bias_init(self.fan_in) if self.fan_in
+                    else nn.initializers.zeros)
+            b = self.param("bias", init, (self.kshape[-1],))
+        return kernel, b
+
+
 class LightConv(nn.Module):
-    """BN(cumulative) -> ReLU -> Conv(bias per config) (model/hourglass.py:7-12)."""
+    """BN(cumulative) -> ReLU -> Conv(bias per config) (model/hourglass.py:7-12).
+
+    ``quantize="int8"`` applies the conv as a dynamic-int8 MXU convolution
+    at eval time (ops/int8.py); train mode and the variable tree are
+    unchanged."""
 
     features: int
     kernel: int = 1
     bias: bool = False
     momentum: Optional[float] = None  # cumulative by default in this variant
     dtype: jnp.dtype = jnp.float32
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool, momentum="__unset__"):
@@ -66,6 +92,12 @@ class LightConv(nn.Module):
         ).astype(self.dtype)
         h = nn.relu(h)
         fan_in = x.shape[-1] * self.kernel * self.kernel
+        if self.quantize == "int8" and not train:
+            k, b = _ConvP(
+                (self.kernel, self.kernel, x.shape[-1], self.features),
+                self.bias, fan_in if self.bias else None, name="conv",
+            )()
+            return int8_conv(h, k, b)
         return _conv(
             self.features, self.kernel, "conv", bias=self.bias,
             dtype=self.dtype, fan_in=fan_in if self.bias else None,
@@ -79,13 +111,15 @@ class ResUnit(nn.Module):
     out_channels: int
     momentum: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
+    quantize: Optional[str] = None  # int8 body convs at eval (skip stays float)
 
     @nn.compact
     def __call__(self, x, *, train: bool, momentum="__unset__"):
         if momentum == "__unset__":
             momentum = self.momentum
         half = self.out_channels // 2
-        kw = dict(momentum=self.momentum, dtype=self.dtype)
+        kw = dict(momentum=self.momentum, dtype=self.dtype,
+                  quantize=self.quantize)
         h = LightConv(half, 1, name="light1", **kw)(x, train=train, momentum=momentum)
         h = LightConv(half, 3, name="light2", **kw)(h, train=train, momentum=momentum)
         h = LightConv(self.out_channels, 1, name="light3", **kw)(
@@ -109,12 +143,14 @@ class Hourglass(nn.Module):
     compression_time: int = 4
     momentum: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool, momentum="__unset__"):
         if momentum == "__unset__":
             momentum = self.momentum
-        kw = dict(momentum=self.momentum, dtype=self.dtype)
+        kw = dict(momentum=self.momentum, dtype=self.dtype,
+                  quantize=self.quantize)
         c = self.channels
         skips = []
         h = x
@@ -140,15 +176,18 @@ class PrevHead(nn.Module):
     channels: int
     momentum: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool, momentum="__unset__"):
         if momentum == "__unset__":
             momentum = self.momentum
         kw = dict(momentum=self.momentum, dtype=self.dtype)
-        h = ResUnit(self.channels, self.channels, name="res", **kw)(
+        h = ResUnit(self.channels, self.channels, name="res",
+                    quantize=self.quantize, **kw)(
             x, train=train, momentum=momentum
         )
+        # The 1x1 head conv stays float (heads are cheap; accuracy first).
         return LightConv(self.channels, 1, name="light", **kw)(
             h, train=train, momentum=momentum
         )
@@ -164,20 +203,22 @@ class StackedHourglass(nn.Module):
     compression_time: int = 4
     momentum: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
+    quantize: Optional[str] = None  # "int8": eval/serving-only (ops/int8.py)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, momentum="__unset__"):
         if momentum == "__unset__":
             momentum = self.momentum
         kw = dict(momentum=self.momentum, dtype=self.dtype)
+        rkw = dict(quantize=self.quantize, **kw)
         x = x.astype(self.dtype)
 
         # Stem WITHOUT BN+ReLU after the 7x7 conv (model/hourglass.py:101-109).
         h = _conv(64, 7, "stem_conv", stride=2, dtype=self.dtype)(x)
-        h = ResUnit(64, 128, name="stem_res1", **kw)(h, train=train, momentum=momentum)
+        h = ResUnit(64, 128, name="stem_res1", **rkw)(h, train=train, momentum=momentum)
         h = nn.max_pool(h, (2, 2), strides=(2, 2))
-        h = ResUnit(128, 128, name="stem_res2", **kw)(h, train=train, momentum=momentum)
-        h = ResUnit(128, self.out_channels, name="stem_res3", **kw)(
+        h = ResUnit(128, 128, name="stem_res2", **rkw)(h, train=train, momentum=momentum)
+        h = ResUnit(128, self.out_channels, name="stem_res3", **rkw)(
             h, train=train, momentum=momentum
         )
 
@@ -186,10 +227,11 @@ class StackedHourglass(nn.Module):
             prev_tensor = h
             h = Hourglass(
                 self.out_channels, self.compression_time, self.momentum,
-                self.dtype, name=f"hg_{i}",
+                self.dtype, self.quantize, name=f"hg_{i}",
             )(h, train=train, momentum=momentum)
             h = PrevHead(self.out_channels, self.momentum, self.dtype,
-                         name=f"prev_{i}")(h, train=train, momentum=momentum)
+                         self.quantize, name=f"prev_{i}")(
+                h, train=train, momentum=momentum)
             skip_tensor = LightConv(self.out_channels, 1, name=f"skip_{i}", **kw)(
                 h, train=train, momentum=momentum
             )

@@ -102,6 +102,34 @@ def test_eval_accuracy_within_gates(trained):
     assert shift.max() < 2.0
 
 
+def test_preact_variant_int8():
+    """The FT family (StackedHourglass) carries the same knob: identical
+    tree, bitwise train mode, small eval movement (measured 0.11% of output
+    scale at random init)."""
+    from bilinear_tpu.models.hourglass import StackedHourglass
+
+    kw = dict(stacks=1, out_channels=16, compression_time=2)
+    m_f = StackedHourglass(**kw)
+    m_q = StackedHourglass(quantize="int8", **kw)
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(2, 128, 128, 3), jnp.float32
+    )
+    v = m_f.init(jax.random.PRNGKey(0), x, train=False)
+    v_q = m_q.init(jax.random.PRNGKey(0), x, train=False)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        v, v_q,
+    )
+    y_f = np.asarray(m_f.apply(v, x, train=False))
+    y_q = np.asarray(m_q.apply(v, x, train=False))
+    assert np.abs(y_q - y_f).mean() < 0.02 * np.abs(y_f).mean()
+    y_t, _ = m_q.apply(v, x, train=True, mutable=["batch_stats"])
+    y_t0, _ = m_f.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(y_t), np.asarray(y_t0))
+
+
 def test_end2end_server_int8(trained):
     from bilinear_tpu.serving import End2EndServer
 
