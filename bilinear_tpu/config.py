@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 from dataclasses import dataclass, field
 
 from bilinear_tpu.data.h36m import Protocol
@@ -107,8 +108,24 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cfg) -> None:
             parser.add_argument(arg, type=type(val), default=val)
 
 
+def apply_platform_override() -> None:
+    """Honor BILINEAR_TPU_PLATFORM=cpu|tpu|axon for CLI processes.
+
+    The env's sitecustomize registers the TPU plugin and pins JAX_PLATFORMS
+    before user code runs, so the standard env var cannot force CPU for a
+    subprocess (tests/conftest.py has the same problem in-process). This
+    applies the override through jax.config, which works any time before
+    backend initialization."""
+    platform = os.environ.get("BILINEAR_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def parse_config(cfg, argv=None):
     """Overlay CLI flags onto a config dataclass instance."""
+    apply_platform_override()
     parser = argparse.ArgumentParser()
     _add_dataclass_args(parser, cfg)
     args, _ = parser.parse_known_args(argv)

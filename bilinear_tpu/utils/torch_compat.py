@@ -1,9 +1,15 @@
-"""Interop with reference (PyTorch) checkpoints.
+"""Interop with reference (PyTorch) checkpoints — BOTH directions.
 
-Converts a torch ``state_dict`` of the reference models into our flax
+Import: converts a torch ``state_dict`` of the reference models into our flax
 {params, batch_stats} collections, so real reference checkpoints
 (``save/{comment}/parameter/{epoch}.save``) can be evaluated or fine-tuned in
 the TPU framework, and so tests can use the reference as a numerics oracle.
+
+Export: converts our trained state back into reference-format torch
+checkpoints ({'epoch','step','state','optimizer'}, train_bilinear.py:96-104)
+that the reference's own ``model.*.load()`` resumes from — including
+optimizer moments — so migration works in both directions
+(``save_reference_bilinear_checkpoint`` / ``save_reference_hourglass_checkpoint``).
 
 torch layout -> ours:
 - Linear.weight (out,in)        -> Dense.kernel (in,out)   [transpose]
@@ -254,3 +260,297 @@ def hourglass_from_torch(state_dict: Mapping[str, Any], n_stacks: int = 8,
         light((f"after_{i}",), f"after_heatmap.{i}")
         light((f"skip_{i}",), f"skip_intermediate.{i}")
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Export: our flax state -> reference torch checkpoints (the other direction)
+# ---------------------------------------------------------------------------
+
+def _get(tree, path: Tuple[str, ...]):
+    node = tree
+    for key in path:
+        if node is None or key not in node:
+            return None
+        node = node[key]
+    return node
+
+
+def _arr(x) -> np.ndarray:
+    # torch reference models are float32; our leaves may be bf16/f64. Always
+    # COPY: jax arrays expose read-only buffers, which torch.from_numpy
+    # rejects (and aliasing a live device buffer would be unsafe anyway).
+    return np.array(np.asarray(x), dtype=np.float32)
+
+
+class _TorchExport:
+    """Walk our {params, batch_stats} trees and emit a reference-layout
+    state_dict (insertion order == torch registration order) plus a spec of
+    (torch_key, our_leaf_path, inverse_transform) for every TRAINABLE param,
+    in ``model.parameters()`` order — that order defines the integer param
+    ids in torch optimizer state_dicts."""
+
+    def __init__(self, params, batch_stats):
+        self.params = params
+        self.stats = batch_stats
+        self.sd: Dict[str, np.ndarray] = {}
+        self.spec = []  # (torch_key, our_path_or_None, kind)
+
+    def _emit(self, key, value, path, kind):
+        self.sd[key] = value
+        self.spec.append((key, path, kind))
+
+    def linear(self, path: Tuple[str, ...], prefix: str):
+        node = _get(self.params, path)
+        self._emit(prefix + ".weight", _arr(node["kernel"]).T,
+                   path + ("kernel",), "linear_w")
+        if "bias" in node:
+            self._emit(prefix + ".bias", _arr(node["bias"]),
+                       path + ("bias",), "plain")
+
+    def conv(self, path: Tuple[str, ...], prefix: str, zeros_shape=None):
+        """zeros_shape=(out,in): emit a fresh zero 1x1 conv when our tree has
+        none — the reference torch7 ResModule registers conv_skip even when
+        in==out and never uses it (model/hourglass_torch7.py:19,33-37)."""
+        node = _get(self.params, path)
+        if node is None:
+            if zeros_shape is None:
+                return
+            co, ci = zeros_shape
+            self._emit(prefix + ".weight", np.zeros((co, ci, 1, 1), np.float32),
+                       None, "plain")
+            self._emit(prefix + ".bias", np.zeros((co,), np.float32),
+                       None, "plain")
+            return
+        self._emit(prefix + ".weight", _arr(node["kernel"]).transpose(3, 2, 0, 1),
+                   path + ("kernel",), "conv_w")
+        if "bias" in node:
+            self._emit(prefix + ".bias", _arr(node["bias"]),
+                       path + ("bias",), "plain")
+
+    def bn(self, path: Tuple[str, ...], prefix: str):
+        pnode = _get(self.params, path)
+        snode = _get(self.stats, path)
+        self._emit(prefix + ".weight", _arr(pnode["scale"]), path + ("scale",), "plain")
+        self._emit(prefix + ".bias", _arr(pnode["bias"]), path + ("bias",), "plain")
+        # Buffers: present in state_dict, absent from parameters().
+        self.sd[prefix + ".running_mean"] = _arr(snode["mean"])
+        self.sd[prefix + ".running_var"] = _arr(snode["var"])
+        self.sd[prefix + ".num_batches_tracked"] = np.array(
+            snode["count"], np.int64)
+
+    def moment(self, tree, path, kind):
+        """Fetch an optimizer-moment leaf for torch param ``key`` and undo our
+        layout transform."""
+        leaf = _arr(_get(tree, path))
+        if kind == "linear_w":
+            return leaf.T
+        if kind == "conv_w":
+            return leaf.transpose(3, 2, 0, 1)
+        return leaf
+
+
+def bilinear_to_torch_state(params, batch_stats) -> _TorchExport:
+    """Our BilinearUnit {params, batch_stats} -> reference BilinearUnit
+    state_dict layout (model/bilinear.py:16-29). Exact inverse of
+    bilinear_from_torch."""
+    ex = _TorchExport(params, batch_stats)
+
+    def heavy(ours: str, theirs: str):
+        ex.linear((ours, "linear"), theirs + ".0")
+        ex.bn((ours, "bn"), theirs + ".1")
+
+    heavy("encode", "encode")
+    for b in range(2):
+        for s in range(2):
+            heavy(f"bilinear_{b}_{s}", f"bilinear.{b}.{s}")
+    ex.linear(("decode",), "decode")
+    return ex
+
+
+def hourglass_torch7_to_torch_state(params, batch_stats) -> _TorchExport:
+    """Our MainModel tree -> reference MainModel state_dict
+    (model/hourglass_torch7.py:76-103). Config (stacks/features/depth) is
+    inferred from the tree. Emission order matches torch registration order
+    (beforeHourglass, hgArray.*, linArray.*, htmapArray.*, llBarArray.*,
+    htmapBarArray.*) so spec order == model.parameters() order."""
+    n_stacks = sum(1 for k in params if k.startswith("htmap_")
+                   and not k.startswith("htmap_bar_"))
+    features = int(np.shape(params["htmap_0"]["kernel"])[2])
+    depth, node = 1, params["hg_0"]
+    while "sub" in node:
+        depth, node = depth + 1, node["sub"]
+
+    ex = _TorchExport(params, batch_stats)
+
+    def res_module(ours, theirs, ci, co):
+        ex.conv(ours + ("conv_skip",), theirs + ".conv_skip",
+                zeros_shape=(co, ci))
+        ex.bn(ours + ("bn1",), theirs + ".resSeq.0")
+        ex.conv(ours + ("conv1",), theirs + ".resSeq.2")
+        ex.bn(ours + ("bn2",), theirs + ".resSeq.3")
+        ex.conv(ours + ("conv2",), theirs + ".resSeq.5")
+        ex.bn(ours + ("bn3",), theirs + ".resSeq.6")
+        ex.conv(ours + ("conv3",), theirs + ".resSeq.8")
+
+    def hourglass(ours, theirs, d):
+        res_module(ours + ("res1",), theirs + ".res1.0", features, features)
+        res_module(ours + ("res2",), theirs + ".res2.0", features, features)
+        res_module(ours + ("res3",), theirs + ".res3.0", features, features)
+        if d > 1:
+            hourglass(ours + ("sub",), theirs + ".subHourglass", d - 1)
+        else:
+            res_module(ours + ("waist",), theirs + ".resWaist.0",
+                       features, features)
+
+    ex.conv(("stem_conv",), "beforeHourglass.0")
+    ex.bn(("stem_bn",), "beforeHourglass.1")
+    res_module(("stem_res1",), "beforeHourglass.3", 64, 128)
+    res_module(("stem_res2",), "beforeHourglass.5", 128, 128)
+    res_module(("stem_res3",), "beforeHourglass.6", 128, features)
+    for i in range(n_stacks):
+        hourglass((f"hg_{i}",), f"hgArray.{i}", depth)
+    for i in range(n_stacks):
+        ex.conv((f"lin_{i}", "conv"), f"linArray.{i}.0")
+        ex.bn((f"lin_{i}", "bn"), f"linArray.{i}.1")
+    for i in range(n_stacks):
+        ex.conv((f"htmap_{i}",), f"htmapArray.{i}")
+    for i in range(n_stacks - 1):
+        ex.conv((f"ll_bar_{i}",), f"llBarArray.{i}")
+    for i in range(n_stacks - 1):
+        ex.conv((f"htmap_bar_{i}",), f"htmapBarArray.{i}")
+    return ex
+
+
+def hourglass_to_torch_state(params, batch_stats) -> _TorchExport:
+    """Our StackedHourglass (pre-act) tree -> reference StackedHourglass
+    state_dict (model/hourglass.py:92-151). Emission order matches torch
+    registration order (feature_extraction, hourglass.*, prev_heatmap.*,
+    heatmap_intermediate.*, after_heatmap.*, skip_intermediate.*; within a
+    Hourglass: skip_connection.*, downscale.*, res, upscale.*)."""
+    n_stacks = sum(1 for k in params if k.startswith("heatmap_"))
+    compression_time = sum(1 for k in params["hg_0"] if k.startswith("skip_"))
+
+    ex = _TorchExport(params, batch_stats)
+
+    def light(ours, theirs):
+        ex.bn(ours + ("bn",), theirs + ".0")
+        ex.conv(ours + ("conv",), theirs + ".2")
+
+    def res_unit(ours, theirs):
+        light(ours + ("light1",), theirs + ".conv.0")
+        light(ours + ("light2",), theirs + ".conv.1")
+        light(ours + ("light3",), theirs + ".conv.2")
+        ex.conv(ours + ("skip",), theirs + ".skip")  # only when allocated
+
+    def hourglass(ours, theirs):
+        for t in range(compression_time):
+            res_unit(ours + (f"skip_{t}",), f"{theirs}.skip_connection.{t}")
+        for t in range(compression_time):
+            res_unit(ours + (f"down_{t}",), f"{theirs}.downscale.{t}.1")
+        res_unit(ours + ("waist",), theirs + ".res")
+        for t in range(compression_time):
+            res_unit(ours + (f"up_{t}",), f"{theirs}.upscale.{t}.0")
+
+    ex.conv(("stem_conv",), "feature_extraction.0")
+    res_unit(("stem_res1",), "feature_extraction.1")
+    res_unit(("stem_res2",), "feature_extraction.3")
+    res_unit(("stem_res3",), "feature_extraction.4")
+    for i in range(n_stacks):
+        hourglass((f"hg_{i}",), f"hourglass.{i}")
+    for i in range(n_stacks):
+        res_unit((f"prev_{i}", "res"), f"prev_heatmap.{i}.0")
+        light((f"prev_{i}", "light"), f"prev_heatmap.{i}.1")
+    for i in range(n_stacks):
+        light((f"heatmap_{i}",), f"heatmap_intermediate.{i}")
+    for i in range(n_stacks):
+        light((f"after_{i}",), f"after_heatmap.{i}")
+    for i in range(n_stacks):
+        light((f"skip_{i}",), f"skip_intermediate.{i}")
+    return ex
+
+
+def _torch_param_groups(optimizer_cls, lr: float):
+    """Version-correct default param_group dict: pulled from a live torch
+    optimizer so the reference's optimizer.load_state_dict + step() find
+    every hyperparameter key this torch build expects."""
+    import torch
+
+    dummy = torch.nn.Parameter(torch.zeros(1))
+    group = dict(optimizer_cls([dummy], lr=lr).state_dict()["param_groups"][0])
+    return group
+
+
+def _torch_optimizer_export(ex: _TorchExport, moments: Dict[str, Any],
+                            count: int, optimizer_cls, lr: float):
+    """Build a torch optimizer state_dict: integer param ids follow
+    ``ex.spec`` order (== model.parameters() order); each id gets the mapped
+    moment entries from ``moments`` ({torch_state_key: our_tree}); fresh
+    zero-emitted params (path None) get no state, like untouched torch
+    params."""
+    import torch
+
+    state = {}
+    for pid, (key, path, kind) in enumerate(ex.spec):
+        if path is None:
+            continue
+        entry = {"step": torch.tensor(float(count))}
+        for torch_key, tree in moments.items():
+            entry[torch_key] = torch.from_numpy(ex.moment(tree, path, kind))
+        state[pid] = entry
+    group = _torch_param_groups(optimizer_cls, lr)
+    group["params"] = list(range(len(ex.spec)))
+    return {"state": state, "param_groups": [group]}
+
+
+def _find_opt_leaf_state(opt_state, fields: Tuple[str, ...]):
+    """Locate the optimizer-state NamedTuple carrying the given fields in an
+    optax.chain state tuple."""
+    for part in opt_state:
+        if all(hasattr(part, f) for f in fields):
+            return part
+    raise ValueError(f"no optimizer state with fields {fields} in {type(opt_state)}")
+
+
+def save_reference_bilinear_checkpoint(path: str, state, epoch: int,
+                                       learning_rate: float = 1e-3) -> None:
+    """Write our TrainState as a reference-format ``{epoch}.save`` torch
+    checkpoint ({'epoch','step','state','optimizer'}) that the reference's
+    ``model.bilinear.load`` (model/bilinear.py:58-92) resumes from, Adam
+    moments included."""
+    import torch
+
+    ex = bilinear_to_torch_state(state.params, state.batch_stats)
+    adam = _find_opt_leaf_state(state.opt_state, ("count", "mu", "nu"))
+    optimizer = _torch_optimizer_export(
+        ex, {"exp_avg": adam.mu, "exp_avg_sq": adam.nu}, int(adam.count),
+        torch.optim.Adam, learning_rate)
+    torch.save(
+        {"epoch": int(epoch), "step": int(state.step),
+         "state": {k: torch.from_numpy(v) for k, v in ex.sd.items()},
+         "optimizer": optimizer},
+        path,
+    )
+
+
+def save_reference_hourglass_checkpoint(path: str, state, epoch: int,
+                                        family: str = "torch7",
+                                        learning_rate: float = 2.5e-4) -> None:
+    """Write our detector TrainState as a reference-format torch checkpoint
+    that ``model.hourglass_torch7.load`` / ``model.hourglass.load`` resumes
+    from (RMSprop square_avg moments included). family: 'torch7' (MainModel)
+    or 'preact' (StackedHourglass)."""
+    import torch
+
+    to_torch = (hourglass_torch7_to_torch_state if family == "torch7"
+                else hourglass_to_torch_state)
+    ex = to_torch(state.params, state.batch_stats)
+    rms = _find_opt_leaf_state(state.opt_state, ("count", "square_avg"))
+    optimizer = _torch_optimizer_export(
+        ex, {"square_avg": rms.square_avg}, int(rms.count),
+        torch.optim.RMSprop, learning_rate)
+    torch.save(
+        {"epoch": int(epoch), "step": int(state.step),
+         "state": {k: torch.from_numpy(v) for k, v in ex.sd.items()},
+         "optimizer": optimizer},
+        path,
+    )
