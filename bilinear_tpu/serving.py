@@ -51,11 +51,18 @@ class LiftingServer:
         dtype=jnp.bfloat16,
         interpret: bool = False,
         quantize: Optional[str] = None,
+        mesh=None,
     ):
         """``quantize="int8"`` switches the hidden layers to dynamic int8
         MXU matmuls (ops/pallas/lifting_int8.py) — ~2x the bf16 MAC peak on
         v5e-class chips at <0.1 mm MPJPE cost (tests/test_lifting_int8.py).
-        Default (None) is the bf16 kernel."""
+        Default (None) is the bf16 kernel.
+
+        ``mesh``: a ``jax.sharding.Mesh`` (parallel/mesh.py) for pod-scale
+        offline lifting — the request batch is sharded over the 'data' axis
+        and each device runs the fused kernel on its shard (weights
+        replicated; no cross-device traffic in the forward). On one device
+        this degenerates to the plain path."""
         if quantize not in (None, "int8"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
         self._quantize = quantize
@@ -75,6 +82,39 @@ class LiftingServer:
         self._std_s = jnp.asarray(std_s)
         self._dtype = dtype
         self._interpret = interpret
+
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from bilinear_tpu.parallel.mesh import DATA_AXIS
+
+            self._data_size = int(mesh.shape[DATA_AXIS])
+            if quantize == "int8":
+                from bilinear_tpu.ops.pallas.lifting_int8 import (
+                    lifting_forward_int8,
+                )
+
+                def kernel(weights, x):
+                    return lifting_forward_int8(
+                        x=x, prepared=weights, interpret=interpret
+                    )
+            else:
+                def kernel(weights, x):
+                    return lifting_forward(
+                        None, None, x, dtype=dtype, interpret=interpret,
+                        prepared=weights,
+                    )
+
+            batch_spec = P(DATA_AXIS)
+            self._sharded_fwd = jax.jit(
+                shard_map(
+                    kernel, mesh=mesh,
+                    in_specs=(P(), batch_spec), out_specs=batch_spec,
+                    check_rep=False,
+                )
+            )
 
     @classmethod
     def from_run_dir(cls, run_dir: str, split: H36MSplit, **kw):
@@ -98,6 +138,14 @@ class LiftingServer:
         ), epoch
 
     def _forward(self, x) -> jnp.ndarray:
+        if self._mesh is not None:
+            n = x.shape[0]
+            pad = (-n) % self._data_size
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0
+                )
+            return self._sharded_fwd(self._prepared, x)[:n]
         if self._quantize == "int8":
             from bilinear_tpu.ops.pallas.lifting_int8 import (
                 lifting_forward_int8,

@@ -136,3 +136,40 @@ def test_end2end_server_hot_reload(e2e_setup):
     assert server.epoch == 2
     _, mm_after = server.predict(frames)
     assert not np.allclose(mm_after, mm_before)
+
+
+@pytest.mark.parametrize("quantize", [None, "int8"])
+def test_mesh_sharded_lifting_matches_single_device(setup, quantize):
+    """Pod-scale serving: LiftingServer(mesh=...) shards the request batch
+    over the 'data' axis (shard_map around the same kernel) and must
+    reproduce the single-device outputs, including non-divisible batch
+    sizes (padded internally)."""
+    from bilinear_tpu.parallel.mesh import make_mesh
+
+    _, splits, _, state = setup
+    tr = splits[Task.Train]
+    kw = dict(interpret=True, quantize=quantize, dtype=jnp.float32)
+    plain = LiftingServer(
+        state.params, state.batch_stats,
+        tr.mean_part, tr.std_part, tr.mean_s, tr.std_s, **kw,
+    )
+    sharded = LiftingServer(
+        state.params, state.batch_stats,
+        tr.mean_part, tr.std_part, tr.mean_s, tr.std_s,
+        mesh=make_mesh(), **kw,
+    )
+    kp = np.random.RandomState(11).rand(13, 16, 2).astype(np.float32) * 200
+    got = np.asarray(sharded.lift(kp))
+    want = np.asarray(plain.lift(kp))
+    if quantize is None:
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-3)
+    else:
+        # int8 activation scales are DYNAMIC per row-tile; sharding regroups
+        # rows into different tiles, so outputs agree only to within the
+        # quantization noise envelope (the same envelope the accuracy gate
+        # in tests/test_lifting_int8.py bounds).
+        # (~5% worst-case / ~0.5% mean on an UNTRAINED random net, whose
+        # activation distributions are the worst case for dynamic scales.)
+        scale = np.std(want)
+        assert np.max(np.abs(got - want)) < 0.08 * scale
+        assert np.mean(np.abs(got - want)) < 0.015 * scale
