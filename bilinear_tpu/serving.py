@@ -205,14 +205,32 @@ class End2EndServer:
         parameter_dir: Optional[str] = None,
         epoch: int = 0,
         quantize: Optional[str] = None,
+        mesh=None,
     ):
         """``quantize="int8"`` serves the detector's body convs as dynamic
         int8 MXU convolutions (ops/int8.py) — same checkpoints, eval-only;
-        accuracy-gated by tests/test_hourglass_int8.py."""
+        accuracy-gated by tests/test_hourglass_int8.py.
+
+        ``mesh``: a ``jax.sharding.Mesh`` — each compiled program shards its
+        request batch over the 'data' axis (weights replicated; the fused
+        frame->3D program is pure XLA, so GSPMD partitions it directly).
+        Every entry of ``batch_sizes`` must divide evenly over the mesh's
+        data axis."""
         from bilinear_tpu.models.end2end import End2End
 
         if quantize not in (None, "int8"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
+        if mesh is not None:
+            from bilinear_tpu.parallel.mesh import DATA_AXIS
+
+            n_data = int(mesh.shape[DATA_AXIS])
+            bad = [b for b in batch_sizes if b % n_data]
+            if bad:
+                raise ValueError(
+                    f"batch_sizes {bad} do not divide the mesh's data axis "
+                    f"({n_data}); pick multiples of it"
+                )
+        self._mesh = mesh
         self.model = End2End(
             variant=variant, dtype=dtype, quantize=quantize,
             **(model_kw or {}),
@@ -274,7 +292,6 @@ class End2EndServer:
             model = self.model
             mean_p, std_p = self._mean_part, self._std_part
 
-            @jax.jit
             def fwd(variables, frames, centers, scales):
                 _, pose2d, pose3d = model.apply(
                     variables, frames, centers, scales, mean_p, std_p,
@@ -282,7 +299,28 @@ class End2EndServer:
                 )
                 return pose2d, pose3d
 
-            self._compiled[batch] = fwd
+            if self._mesh is None:
+                jitted = jax.jit(fwd)
+            else:
+                from bilinear_tpu.parallel.mesh import (
+                    batch_sharding,
+                    replicated,
+                )
+
+                jitted = jax.jit(
+                    fwd,
+                    in_shardings=(
+                        replicated(self._mesh),
+                        batch_sharding(self._mesh, 4),
+                        batch_sharding(self._mesh, 2),
+                        batch_sharding(self._mesh, 1),
+                    ),
+                    out_shardings=(
+                        batch_sharding(self._mesh, 3),
+                        batch_sharding(self._mesh, 2),
+                    ),
+                )
+            self._compiled[batch] = jitted
         return self._compiled[batch]
 
     def _chunks(self, n: int):

@@ -173,3 +173,32 @@ def test_mesh_sharded_lifting_matches_single_device(setup, quantize):
         scale = np.std(want)
         assert np.max(np.abs(got - want)) < 0.08 * scale
         assert np.mean(np.abs(got - want)) < 0.015 * scale
+
+
+def test_end2end_server_mesh_sharded_matches(e2e_setup):
+    """End2EndServer(mesh=...): the fused frame->3D program sharded over the
+    data axis must reproduce the single-device server's outputs; batch sizes
+    that don't divide the mesh are rejected."""
+    from bilinear_tpu.parallel.mesh import make_mesh
+    from bilinear_tpu.serving import End2EndServer
+
+    splits, run_dir, trainer, state = e2e_setup
+    tr = splits[Task.Train]
+    mesh = make_mesh()
+    server = End2EndServer.from_run_dir(
+        run_dir, tr, model_kw=E2E_KW, dtype=jnp.float32, batch_sizes=(8,),
+        mesh=mesh,
+    )
+    plain = End2EndServer.from_run_dir(
+        run_dir, tr, model_kw=E2E_KW, dtype=jnp.float32, batch_sizes=(8,)
+    )
+    frames = np.random.RandomState(2).rand(11, 256, 256, 3).astype(np.float32)
+    p2_s, mm_s = server.predict(frames)
+    p2_p, mm_p = plain.predict(frames)
+    np.testing.assert_allclose(p2_s, p2_p, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(mm_s, mm_p, rtol=1e-4, atol=1e-2)
+
+    with pytest.raises(ValueError, match="divide"):
+        End2EndServer.from_run_dir(
+            run_dir, tr, model_kw=E2E_KW, batch_sizes=(1, 8), mesh=mesh
+        )
