@@ -146,3 +146,20 @@ def constrain_batch(x, mesh: Mesh):
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
     )
+
+
+def spatial_sharding(mesh: Mesh, ndim: int = 4, axis: int = 1) -> NamedSharding:
+    """Shard a spatial dimension (default: H of NHWC) over the 'data' axis —
+    the SP analogue for the conv stack (SURVEY.md §5 'long-context/SP': the
+    reference has no sequence axis; images are the long axis here). GSPMD
+    inserts the halo exchanges 3x3 convs and pools need at shard edges, so a
+    single giant frame can span chips with no kernel changes."""
+    spec = [None] * ndim
+    spec[axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_spatial(mesh: Mesh, x, axis: int = 1):
+    """Device-put with a spatial (H) dimension sharded over 'data'."""
+    x = np.asarray(x) if not isinstance(x, jax.Array) else x
+    return jax.device_put(x, spatial_sharding(mesh, x.ndim, axis))

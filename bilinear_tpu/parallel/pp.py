@@ -1,0 +1,271 @@
+"""Pipeline parallelism over hourglass stacks (inference/serving).
+
+The reference is single-device (SURVEY.md §2 parallelism census) and the
+25 M-param detector fits one chip, so PP has no reference counterpart — this
+exists to complete the framework's scaling story alongside DP
+(parallel/mesh.py) and TP (parallel/tp.py): the stacked hourglass
+(/root/reference/model/hourglass_torch7.py:107-122) is a natural pipeline —
+8 identical stacks chained through the ``inter`` feedback tensor — so its
+stacks shard over a 'stage' mesh axis and microbatches stream through a
+ppermute ring.
+
+Design (TPU-native):
+- The per-stack computation is re-expressed as ``StackBlock`` (hourglass ->
+  lin -> heatmap head -> feedback convs), one flax module with a FIXED
+  variable tree so all stacks stack into one pytree with a leading
+  (n_stacks,) axis. ``split_pipeline_variables`` converts a trained
+  ``MainModel`` checkpoint losslessly (the reference allocates no feedback
+  convs on the final stack, hourglass_torch7.py:117-121 — those are
+  zero-filled here, making the final feedback a no-op).
+- ``pipeline_forward`` runs the classic synchronous pipeline schedule under
+  ``shard_map``: the stacked stack-params shard over 'stage' (each device
+  holds n_stacks/S consecutive stacks), microbatches enter at stage 0, and
+  activations move stage->stage+1 via ``lax.ppermute`` inside a
+  ``lax.scan`` over M + S - 1 ticks. The stem runs once before the pipeline
+  as an ordinary GSPMD program.
+- Eval mode only (BatchNorm running stats): microbatching is then exact, so
+  the pipelined forward equals the single-device ``MainModel`` forward to
+  float tolerance (tests/test_parallel_pp.py). Training this 25 M-param
+  model needs no PP — that trade-off is documented, not hidden.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from bilinear_tpu.core.norm import TorchBatchNorm
+from bilinear_tpu.models.hourglass_torch7 import (
+    Hourglass,
+    Lin,
+    N_DEPTH,
+    N_FEATURES,
+    N_JOINTS,
+    ResModule,
+    _conv,
+)
+
+STAGE_AXIS = "stage"
+
+_STEM_KEYS = ("stem_conv", "stem_bn", "stem_res1", "stem_res2", "stem_res3")
+_STACK_KEYS = ("hg", "lin", "htmap", "ll_bar", "htmap_bar")
+
+
+def make_stage_mesh(devices=None, stages: Optional[int] = None) -> Mesh:
+    """1-axis ('stage',) mesh for pipeline execution."""
+    devices = list(devices if devices is not None else jax.devices())
+    if stages is not None:
+        devices = devices[:stages]
+    return Mesh(np.asarray(devices), (STAGE_AXIS,))
+
+
+class StemBlock(nn.Module):
+    """MainModel's stem (models/hourglass_torch7.py:325-335) as a standalone
+    module with the SAME variable names, so a MainModel checkpoint's stem
+    subtree loads directly."""
+
+    features: int = N_FEATURES
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        sdtype = jnp.promote_types(jnp.float32, self.dtype)
+        x = x.astype(self.dtype)
+        h = _conv(64, 7, "stem_conv", stride=2, dtype=self.dtype,
+                  fan_in=3 * 49)(x)
+        h = TorchBatchNorm(momentum=0.1, dtype=sdtype, name="stem_bn")(
+            h.astype(sdtype), train=False
+        ).astype(self.dtype)
+        h = nn.relu(h)
+        h = ResModule(64, 128, name="stem_res1", dtype=self.dtype)(
+            h, train=False
+        )
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = ResModule(128, 128, name="stem_res2", dtype=self.dtype)(
+            h, train=False
+        )
+        return ResModule(128, self.features, name="stem_res3",
+                         dtype=self.dtype)(h, train=False)
+
+
+class StackBlock(nn.Module):
+    """One hourglass stack incl. heads and feedback (the loop body at
+    models/hourglass_torch7.py:338-360) with stack-index-free variable names
+    ('hg', 'lin', 'htmap', 'll_bar', 'htmap_bar') so every stack shares one
+    tree structure. Returns (heatmap, next_inter); the final stack's
+    (zero-filled) feedback makes next_inter == inter there."""
+
+    features: int = N_FEATURES
+    n_joints: int = N_JOINTS
+    depth: int = N_DEPTH
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inter) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        ll = Hourglass(self.depth, self.features, dtype=self.dtype,
+                       name="hg")(inter, train=False)
+        ll = Lin(self.features, dtype=self.dtype, name="lin")(
+            ll, train=False
+        )
+        htmap = _conv(self.n_joints, 1, "htmap", dtype=self.dtype,
+                      fan_in=self.features)(ll)
+        ll_ = _conv(self.features, 1, "ll_bar", dtype=self.dtype,
+                    fan_in=self.features)(ll)
+        htmap_ = _conv(self.features, 1, "htmap_bar", dtype=self.dtype,
+                       fan_in=self.n_joints)(htmap)
+        out = htmap.astype(jnp.promote_types(jnp.float32, self.dtype))
+        return out, inter + ll_ + htmap_
+
+
+def _zero_feedback(features: int, n_joints: int, col):
+    """Zero-filled feedback-conv variables for the final stack (collection
+    'params' has them; 'batch_stats' has none)."""
+    if col != "params":
+        return {}
+    return {
+        "ll_bar": {
+            "kernel": jnp.zeros((1, 1, features, features), jnp.float32),
+            "bias": jnp.zeros((features,), jnp.float32),
+        },
+        "htmap_bar": {
+            "kernel": jnp.zeros((1, 1, n_joints, features), jnp.float32),
+            "bias": jnp.zeros((features,), jnp.float32),
+        },
+    }
+
+
+def split_pipeline_variables(
+    variables, n_stacks: int, *, features: int = N_FEATURES,
+    n_joints: int = N_JOINTS,
+):
+    """MainModel variables -> (stem_variables, stacked_stack_variables).
+
+    The stacked tree has a leading (n_stacks,) axis on every leaf and the
+    StackBlock tree structure; shard it over 'stage' to give each pipeline
+    stage its consecutive stacks."""
+    per_stack = []
+    for i in range(n_stacks):
+        entry = {}
+        for col, tree in variables.items():
+            sub = {}
+            for short, full in (
+                ("hg", f"hg_{i}"), ("lin", f"lin_{i}"),
+                ("htmap", f"htmap_{i}"), ("ll_bar", f"ll_bar_{i}"),
+                ("htmap_bar", f"htmap_bar_{i}"),
+            ):
+                if full in tree:
+                    sub[short] = tree[full]
+            sub.update(
+                {k: v for k, v in _zero_feedback(
+                    features, n_joints, col
+                ).items() if k not in sub}
+            )
+            entry[col] = sub
+        per_stack.append(entry)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_stack)
+    stem = {
+        col: {k: tree[k] for k in _STEM_KEYS if k in tree}
+        for col, tree in variables.items()
+    }
+    return stem, stacked
+
+
+def pipeline_forward(
+    variables,
+    images,  # (B, R, R, 3)
+    mesh: Mesh,
+    *,
+    n_stacks: int = 8,
+    features: int = N_FEATURES,
+    n_joints: int = N_JOINTS,
+    depth: int = N_DEPTH,
+    dtype=jnp.float32,
+    microbatches: Optional[int] = None,
+) -> jnp.ndarray:
+    """Eval-mode pipelined forward: final-stack heatmaps (B, R/4, R/4, J),
+    numerically matching ``MainModel.apply(...)[-1]``.
+
+    The batch splits into M microbatches (default: one per stage); stage s
+    holds stacks [s*k, (s+1)*k), k = n_stacks / n_stages. Total ticks
+    M + S - 1; utilization M / (M + S - 1)."""
+    n_stages = mesh.shape[STAGE_AXIS]
+    if n_stacks % n_stages:
+        raise ValueError(f"{n_stacks} stacks do not divide {n_stages} stages")
+    local = n_stacks // n_stages
+    B = images.shape[0]
+    M = microbatches if microbatches is not None else n_stages
+    if B % M:
+        raise ValueError(f"batch {B} does not divide {M} microbatches")
+    mb = B // M
+
+    stem_vars, stack_vars = split_pipeline_variables(
+        variables, n_stacks, features=features, n_joints=n_joints
+    )
+    stem_out = StemBlock(features, dtype).apply(stem_vars, images)
+    h, w = stem_out.shape[1:3]
+    xs = stem_out.reshape(M, mb, h, w, features)
+
+    block = StackBlock(features, n_joints, depth, dtype)
+    sdtype = jnp.promote_types(jnp.float32, dtype)
+
+    stack_specs = jax.tree.map(lambda _: P(STAGE_AXIS), stack_vars)
+
+    def body(local_vars, xs_rep):
+        s = jax.lax.axis_index(STAGE_AXIS)
+
+        def tick(carry, t):
+            inter, out = carry
+            x_t = jax.lax.dynamic_index_in_dim(
+                xs_rep, jnp.clip(t, 0, M - 1), 0, keepdims=False
+            )
+            inter = jnp.where(s == 0, x_t, inter)
+            htmap = None
+            for j in range(local):
+                pv = jax.tree.map(lambda a: a[j], local_vars)
+                htmap, inter = block.apply(pv, inter)
+            idx = t - (n_stages - 1)
+            upd = jax.lax.dynamic_update_index_in_dim(
+                out, htmap.astype(out.dtype), jnp.clip(idx, 0, M - 1), 0
+            )
+            out = jnp.where((s == n_stages - 1) & (idx >= 0), upd, out)
+            if n_stages > 1:
+                inter = jax.lax.ppermute(
+                    inter, STAGE_AXIS,
+                    [(i, i + 1) for i in range(n_stages - 1)],
+                )
+            return (inter, out), None
+
+        init = (
+            jnp.zeros((mb, h, w, features), stem_out.dtype),
+            jnp.zeros((M, mb, h, w, n_joints), sdtype),
+        )
+        # The carry is stage-varying (each stage holds different state);
+        # mark the replicated zeros as such for shard_map's VMA type check.
+        init = jax.tree.map(
+            lambda a: jax.lax.pcast(a, (STAGE_AXIS,), to="varying"), init
+        )
+        (_, out), _ = jax.lax.scan(
+            tick, init, jnp.arange(M + n_stages - 1)
+        )
+        # Only the last stage holds real outputs; replicate via psum.
+        out = jax.lax.psum(
+            jnp.where(s == n_stages - 1, out, jnp.zeros_like(out)),
+            STAGE_AXIS,
+        )
+        return out
+
+    out = shard_map(
+        body, mesh=mesh,
+        in_specs=(stack_specs, P()),
+        out_specs=P(),
+    )(stack_vars, xs)
+    return out.reshape(B, h, w, n_joints)

@@ -1,0 +1,106 @@
+"""Pipeline parallelism (parallel/pp.py) and spatial partitioning
+(parallel/mesh.py::spatial_sharding) on the 8-virtual-device CPU mesh.
+
+The oracle is the single-device MainModel forward — the pipeline is a pure
+re-scheduling of the same math (reference loop:
+/root/reference/model/hourglass_torch7.py:107-122), so equality is to float
+tolerance."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bilinear_tpu.models.hourglass_torch7 import MainModel
+from bilinear_tpu.parallel import mesh as mesh_lib
+from bilinear_tpu.parallel.pp import (
+    make_stage_mesh,
+    pipeline_forward,
+    split_pipeline_variables,
+)
+
+N_STACKS, FEATURES, DEPTH, RES = 4, 32, 2, 64
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = MainModel(n_stacks=N_STACKS, features=FEATURES, depth=DEPTH)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(8, RES, RES, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+    # Perturb BN running stats away from init so eval mode is non-trivial.
+    variables = jax.tree.map(
+        lambda a: a + 0.01 if a.dtype == jnp.float32 else a, variables
+    )
+    ref = jax.jit(
+        lambda v, x: model.apply(v, x, train=False)
+    )(variables, x)
+    return model, variables, x, ref
+
+
+def test_split_roundtrips_stack_params(model_and_vars):
+    _, variables, _, _ = model_and_vars
+    stem, stacked = split_pipeline_variables(variables, N_STACKS,
+                                             features=FEATURES)
+    # Every stacked leaf carries the (n_stacks,) leading axis.
+    for leaf in jax.tree.leaves(stacked):
+        assert leaf.shape[0] == N_STACKS
+    # Stack 1's hourglass kernel survives the conversion verbatim.
+    got = stacked["params"]["hg"]["res1"]["conv1"]["kernel"][1]
+    np.testing.assert_array_equal(
+        np.asarray(got),
+        np.asarray(variables["params"]["hg_1"]["res1"]["conv1"]["kernel"]),
+    )
+    # The final stack's feedback convs are zero-filled (the reference never
+    # allocates them, hourglass_torch7.py:117-121).
+    assert not np.any(np.asarray(stacked["params"]["ll_bar"]["kernel"][-1]))
+    assert "stem_conv" in stem["params"]
+
+
+@pytest.mark.parametrize("stages,microbatches", [(4, 4), (2, 8), (4, 1)])
+def test_pipeline_matches_single_device(model_and_vars, stages, microbatches):
+    _, variables, x, ref = model_and_vars
+    mesh = make_stage_mesh(stages=stages)
+    out = pipeline_forward(
+        variables, x, mesh,
+        n_stacks=N_STACKS, features=FEATURES, depth=DEPTH,
+        microbatches=microbatches,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref[-1]), rtol=1e-4, atol=5e-3
+    )
+
+
+def test_pipeline_single_stage_degenerates(model_and_vars):
+    """S=1 runs the whole net on one device — the schedule must degenerate."""
+    _, variables, x, ref = model_and_vars
+    mesh = make_stage_mesh(stages=1)
+    out = pipeline_forward(
+        variables, x, mesh,
+        n_stacks=N_STACKS, features=FEATURES, depth=DEPTH, microbatches=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref[-1]), rtol=1e-4, atol=5e-3
+    )
+
+
+def test_pipeline_validates_divisibility(model_and_vars):
+    _, variables, x, _ = model_and_vars
+    mesh = make_stage_mesh(stages=3)
+    with pytest.raises(ValueError, match="stacks do not divide"):
+        pipeline_forward(variables, x, mesh, n_stacks=N_STACKS,
+                         features=FEATURES, depth=DEPTH)
+
+
+def test_spatial_sharding_matches_replicated(model_and_vars):
+    """SP: input H axis sharded over all 8 devices; GSPMD halo exchange must
+    reproduce the replicated conv stack bit-for-bit-tolerance output."""
+    model, variables, x, ref = model_and_vars
+    mesh = mesh_lib.make_mesh()
+    xs = mesh_lib.shard_spatial(mesh, x, axis=1)
+    assert xs.sharding.spec == jax.sharding.PartitionSpec(
+        None, mesh_lib.DATA_AXIS, None, None
+    )
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, xs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=5e-3
+    )
