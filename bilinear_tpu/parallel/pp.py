@@ -269,3 +269,47 @@ def pipeline_forward(
         out_specs=P(),
     )(stack_vars, xs)
     return out.reshape(B, h, w, n_joints)
+
+
+def pipeline_end2end(
+    variables,  # End2End variable tree (models/end2end.py, torch7 variant)
+    images,  # (B, 256, 256, 3)
+    centers,  # (B, 2)
+    scales,  # (B,)
+    mean_part,  # (32,)
+    std_part,  # (32,)
+    mesh: Mesh,
+    *,
+    temperature: float = 10.0,
+    n_stacks: int = 8,
+    features: int = N_FEATURES,
+    n_joints: int = N_JOINTS,
+    depth: int = N_DEPTH,
+    dtype=jnp.float32,
+    microbatches: Optional[int] = None,
+):
+    """The fused frame->3D program (models/end2end.py) with its detector
+    pipelined over a 'stage' mesh: stem -> pipelined stacks -> softargmax
+    (x10 temperature, reference model/end2end.py:14) -> image space ->
+    MPII->H36M remap -> z-score -> lifting MLP. Returns (pose_img, pose_3d),
+    matching ``End2End.apply(...)[1:]`` to float tolerance
+    (tests/test_parallel_pp.py)."""
+    from bilinear_tpu.models.bilinear import BilinearUnit
+    from bilinear_tpu.ops.decode import heatmap_to_image_space, softargmax
+    from bilinear_tpu.ops.joints import H36M16_FROM_MPII
+
+    hg_vars = {col: tree["hourglass"] for col, tree in variables.items()}
+    heat = pipeline_forward(
+        hg_vars, images, mesh,
+        n_stacks=n_stacks, features=features, n_joints=n_joints,
+        depth=depth, dtype=dtype, microbatches=microbatches,
+    )
+    hm = jnp.transpose(heat, (0, 3, 1, 2))  # (B, J, H, W)
+    pose_hm = softargmax(hm, temperature)
+    pose_img = heatmap_to_image_space(pose_hm, centers, scales)
+    part16 = jnp.take(pose_img, jnp.asarray(H36M16_FROM_MPII), axis=-2)
+    flat = part16.reshape(part16.shape[0], -1)
+    normalized = (flat - mean_part) / std_part
+    bl_vars = {col: tree["bilinear"] for col, tree in variables.items()}
+    pose_3d = BilinearUnit(dtype=dtype).apply(bl_vars, normalized, train=False)
+    return pose_img, pose_3d

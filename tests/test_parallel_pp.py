@@ -91,6 +91,40 @@ def test_pipeline_validates_divisibility(model_and_vars):
                          features=FEATURES, depth=DEPTH)
 
 
+def test_pipeline_end2end_matches_fused(model_and_vars):
+    """The pipelined frame->3D program equals the single-device fused
+    End2End (models/end2end.py) on both outputs."""
+    from bilinear_tpu.models.end2end import End2End
+    from bilinear_tpu.parallel.pp import pipeline_end2end
+
+    e2e = End2End(n_stacks=N_STACKS, features=FEATURES, depth=DEPTH)
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.rand(8, 256, 256, 3).astype(np.float32))
+    centers = jnp.asarray(np.full((8, 2), 128.0, np.float32))
+    scales = jnp.asarray(np.full((8,), 1.28, np.float32))
+    mean_p = jnp.zeros(32)
+    std_p = jnp.ones(32)
+    variables = e2e.init(
+        jax.random.PRNGKey(3), imgs[:1], centers[:1], scales[:1],
+        mean_p, std_p, train=False,
+    )
+    _, p2_ref, p3_ref = jax.jit(
+        lambda v: e2e.apply(v, imgs, centers, scales, mean_p, std_p,
+                            train=False)
+    )(variables)
+    p2, p3 = pipeline_end2end(
+        variables, imgs, centers, scales, mean_p, std_p,
+        make_stage_mesh(stages=4),
+        n_stacks=N_STACKS, features=FEATURES, depth=DEPTH, microbatches=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p2), np.asarray(p2_ref), rtol=1e-3, atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(p3), np.asarray(p3_ref), rtol=1e-3, atol=5e-3
+    )
+
+
 def test_spatial_sharding_matches_replicated(model_and_vars):
     """SP: input H axis sharded over all 8 devices; GSPMD halo exchange must
     reproduce the replicated conv stack bit-for-bit-tolerance output."""
