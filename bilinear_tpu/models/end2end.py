@@ -29,8 +29,7 @@ from flax import linen as nn
 from bilinear_tpu.models.bilinear import BilinearUnit
 from bilinear_tpu.models.hourglass import StackedHourglass
 from bilinear_tpu.models.hourglass_torch7 import MainModel
-from bilinear_tpu.ops.decode import heatmap_to_image_space, softargmax
-from bilinear_tpu.ops.joints import H36M16_FROM_MPII
+from bilinear_tpu.ops.decode import decode_to_normalized
 
 
 class End2End(nn.Module):
@@ -86,14 +85,10 @@ class End2End(nn.Module):
         """Returns (per-stack heatmaps (S,B,H,W,J), image-space 2D pose
         (B,16,2 MPII order), normalized 3D pose (B,48))."""
         heatmaps = self.hourglass(images, train=train)
-        hm = jnp.transpose(heatmaps[-1], (0, 3, 1, 2))  # (B, J, H, W)
-        pose_hm = softargmax(hm, self.temperature)  # (B, J, 2)
-        pose_img = heatmap_to_image_space(pose_hm, centers, scales)
-
-        part16 = jnp.take(pose_img, jnp.asarray(H36M16_FROM_MPII), axis=-2)
-        flat = part16.reshape(part16.shape[0], -1)  # (B, 32)
-        normalized = (flat - mean_part) / std_part
-
+        pose_img, normalized = decode_to_normalized(
+            heatmaps[-1], centers, scales, mean_part, std_part,
+            self.temperature,
+        )
         pose_3d = self.bilinear(normalized, train=train)
         return heatmaps, pose_img, pose_3d
 

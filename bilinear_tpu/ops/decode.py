@@ -69,3 +69,26 @@ def flip_average(
         jnp.take(flipped_heatmaps, jnp.asarray(swap), axis=-3), axis=-1
     )
     return (heatmaps + unflipped) / 2.0
+
+
+def decode_to_normalized(
+    heat_last: jnp.ndarray,  # (B, H, W, J) final-stack heatmaps, NHWC
+    centers: jnp.ndarray,  # (B, 2)
+    scales,  # (B,)
+    mean_part: jnp.ndarray,  # (32,) H36M train-split part stats
+    std_part: jnp.ndarray,  # (32,)
+    temperature: float = 10.0,
+):
+    """The detector->lifting glue chain shared by the fused End2End program
+    (models/end2end.py) and its pipelined variant (parallel/pp.py):
+    softargmax (x10 temperature, model/end2end.py:14) -> image space ->
+    MPII->H36M joint remap with the nose slot deleted -> z-score. Returns
+    (pose_img (B, 16, 2), normalized (B, 32))."""
+    from bilinear_tpu.ops.joints import H36M16_FROM_MPII
+
+    hm = jnp.transpose(heat_last, (0, 3, 1, 2))  # (B, J, H, W)
+    pose_hm = softargmax(hm, temperature)
+    pose_img = heatmap_to_image_space(pose_hm, centers, scales)
+    part16 = jnp.take(pose_img, jnp.asarray(H36M16_FROM_MPII), axis=-2)
+    flat = part16.reshape(part16.shape[0], -1)  # (B, 32)
+    return pose_img, (flat - mean_part) / std_part

@@ -64,6 +64,11 @@ def make_stage_mesh(devices=None, stages: Optional[int] = None) -> Mesh:
     """1-axis ('stage',) mesh for pipeline execution."""
     devices = list(devices if devices is not None else jax.devices())
     if stages is not None:
+        if stages > len(devices):
+            raise ValueError(
+                f"requested {stages} stages but only {len(devices)} devices "
+                "are available"
+            )
         devices = devices[:stages]
     return Mesh(np.asarray(devices), (STAGE_AXIS,))
 
@@ -71,14 +76,19 @@ def make_stage_mesh(devices=None, stages: Optional[int] = None) -> Mesh:
 class StemBlock(nn.Module):
     """MainModel's stem (models/hourglass_torch7.py:325-335) as a standalone
     module with the SAME variable names, so a MainModel checkpoint's stem
-    subtree loads directly."""
+    subtree loads directly. The eval-mode math is deliberately a line-match
+    of MainModel's — drift is caught by the equality tests in
+    tests/test_parallel_pp.py, which compare against MainModel itself."""
 
     features: int = N_FEATURES
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         sdtype = jnp.promote_types(jnp.float32, self.dtype)
+        kw = dict(dtype=self.dtype, fused=self.fused, quantize=self.quantize)
         x = x.astype(self.dtype)
         h = _conv(64, 7, "stem_conv", stride=2, dtype=self.dtype,
                   fan_in=3 * 49)(x)
@@ -86,15 +96,12 @@ class StemBlock(nn.Module):
             h.astype(sdtype), train=False
         ).astype(self.dtype)
         h = nn.relu(h)
-        h = ResModule(64, 128, name="stem_res1", dtype=self.dtype)(
-            h, train=False
-        )
+        h = ResModule(64, 128, name="stem_res1", **kw)(h, train=False)
         h = nn.max_pool(h, (2, 2), strides=(2, 2))
-        h = ResModule(128, 128, name="stem_res2", dtype=self.dtype)(
+        h = ResModule(128, 128, name="stem_res2", **kw)(h, train=False)
+        return ResModule(128, self.features, name="stem_res3", **kw)(
             h, train=False
         )
-        return ResModule(128, self.features, name="stem_res3",
-                         dtype=self.dtype)(h, train=False)
 
 
 class StackBlock(nn.Module):
@@ -102,16 +109,20 @@ class StackBlock(nn.Module):
     models/hourglass_torch7.py:338-360) with stack-index-free variable names
     ('hg', 'lin', 'htmap', 'll_bar', 'htmap_bar') so every stack shares one
     tree structure. Returns (heatmap, next_inter); the final stack's
-    (zero-filled) feedback makes next_inter == inter there."""
+    (zero-filled) feedback makes next_inter == inter there. Like StemBlock,
+    this mirrors MainModel's loop body — the parity tests guard drift."""
 
     features: int = N_FEATURES
     n_joints: int = N_JOINTS
     depth: int = N_DEPTH
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, inter) -> Tuple[jnp.ndarray, jnp.ndarray]:
         ll = Hourglass(self.depth, self.features, dtype=self.dtype,
+                       fused=self.fused, quantize=self.quantize,
                        name="hg")(inter, train=False)
         ll = Lin(self.features, dtype=self.dtype, name="lin")(
             ll, train=False
@@ -179,6 +190,105 @@ def split_pipeline_variables(
     return stem, stacked
 
 
+def make_pipeline_fn(
+    variables,
+    mesh: Mesh,
+    *,
+    n_stacks: int = 8,
+    features: int = N_FEATURES,
+    n_joints: int = N_JOINTS,
+    depth: int = N_DEPTH,
+    dtype=jnp.float32,
+    microbatches: Optional[int] = None,
+    fused: bool = False,
+    quantize: Optional[str] = None,
+):
+    """Compile-once serving entry: split/stack the MainModel variables ONCE,
+    return a jitted ``fn(images) -> heatmaps`` whose whole body (stem +
+    pipeline) is one XLA program. Re-traces only on a new batch shape.
+
+    ``fused``/``quantize`` mirror MainModel's execution knobs (whole-block
+    Pallas kernels / dynamic-int8 eval convs) so a serving config keeps its
+    kernel path under PP."""
+    n_stages = mesh.shape[STAGE_AXIS]
+    if n_stacks % n_stages:
+        raise ValueError(
+            f"{n_stages} stages do not divide {n_stacks} stacks"
+        )
+    local = n_stacks // n_stages
+    stem_vars, stack_vars = split_pipeline_variables(
+        variables, n_stacks, features=features, n_joints=n_joints
+    )
+    stem = StemBlock(features, dtype, fused, quantize)
+    block = StackBlock(features, n_joints, depth, dtype, fused, quantize)
+    sdtype = jnp.promote_types(jnp.float32, dtype)
+    stack_specs = jax.tree.map(lambda _: P(STAGE_AXIS), stack_vars)
+
+    def program(stem_v, stack_v, images):
+        B = images.shape[0]
+        M = microbatches if microbatches is not None else n_stages
+        if B % M:
+            raise ValueError(f"batch {B} does not divide {M} microbatches")
+        mb = B // M
+        stem_out = stem.apply(stem_v, images)
+        h, w = stem_out.shape[1:3]
+        xs = stem_out.reshape(M, mb, h, w, features)
+
+        def body(local_vars, xs_rep):
+            s = jax.lax.axis_index(STAGE_AXIS)
+
+            def tick(carry, t):
+                inter, out = carry
+                x_t = jax.lax.dynamic_index_in_dim(
+                    xs_rep, jnp.clip(t, 0, M - 1), 0, keepdims=False
+                )
+                inter = jnp.where(s == 0, x_t, inter)
+                htmap = None
+                for j in range(local):
+                    pv = jax.tree.map(lambda a: a[j], local_vars)
+                    htmap, inter = block.apply(pv, inter)
+                idx = t - (n_stages - 1)
+                upd = jax.lax.dynamic_update_index_in_dim(
+                    out, htmap.astype(out.dtype), jnp.clip(idx, 0, M - 1), 0
+                )
+                out = jnp.where((s == n_stages - 1) & (idx >= 0), upd, out)
+                if n_stages > 1:
+                    inter = jax.lax.ppermute(
+                        inter, STAGE_AXIS,
+                        [(i, i + 1) for i in range(n_stages - 1)],
+                    )
+                return (inter, out), None
+
+            init = (
+                jnp.zeros((mb, h, w, features), stem_out.dtype),
+                jnp.zeros((M, mb, h, w, n_joints), sdtype),
+            )
+            # The carry is stage-varying (each stage holds different state);
+            # mark the replicated zeros as such for shard_map's VMA check.
+            init = jax.tree.map(
+                lambda a: jax.lax.pcast(a, (STAGE_AXIS,), to="varying"), init
+            )
+            (_, out), _ = jax.lax.scan(
+                tick, init, jnp.arange(M + n_stages - 1)
+            )
+            # Only the last stage holds real outputs; replicate via psum.
+            out = jax.lax.psum(
+                jnp.where(s == n_stages - 1, out, jnp.zeros_like(out)),
+                STAGE_AXIS,
+            )
+            return out
+
+        out = shard_map(
+            body, mesh=mesh,
+            in_specs=(stack_specs, P()),
+            out_specs=P(),
+        )(stack_v, xs)
+        return out.reshape(B, out.shape[-3], out.shape[-2], n_joints)
+
+    jitted = jax.jit(program)
+    return lambda images: jitted(stem_vars, stack_vars, images)
+
+
 def pipeline_forward(
     variables,
     images,  # (B, R, R, 3)
@@ -190,85 +300,25 @@ def pipeline_forward(
     depth: int = N_DEPTH,
     dtype=jnp.float32,
     microbatches: Optional[int] = None,
+    fused: bool = False,
+    quantize: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Eval-mode pipelined forward: final-stack heatmaps (B, R/4, R/4, J),
+    """One-shot convenience around ``make_pipeline_fn`` (splits the variable
+    tree and builds the program per call — serving loops should hold the
+    function returned by ``make_pipeline_fn`` instead).
+
+    Eval-mode pipelined forward: final-stack heatmaps (B, R/4, R/4, J),
     numerically matching ``MainModel.apply(...)[-1]``.
 
     The batch splits into M microbatches (default: one per stage); stage s
     holds stacks [s*k, (s+1)*k), k = n_stacks / n_stages. Total ticks
     M + S - 1; utilization M / (M + S - 1)."""
-    n_stages = mesh.shape[STAGE_AXIS]
-    if n_stacks % n_stages:
-        raise ValueError(f"{n_stacks} stacks do not divide {n_stages} stages")
-    local = n_stacks // n_stages
-    B = images.shape[0]
-    M = microbatches if microbatches is not None else n_stages
-    if B % M:
-        raise ValueError(f"batch {B} does not divide {M} microbatches")
-    mb = B // M
-
-    stem_vars, stack_vars = split_pipeline_variables(
-        variables, n_stacks, features=features, n_joints=n_joints
+    fn = make_pipeline_fn(
+        variables, mesh, n_stacks=n_stacks, features=features,
+        n_joints=n_joints, depth=depth, dtype=dtype,
+        microbatches=microbatches, fused=fused, quantize=quantize,
     )
-    stem_out = StemBlock(features, dtype).apply(stem_vars, images)
-    h, w = stem_out.shape[1:3]
-    xs = stem_out.reshape(M, mb, h, w, features)
-
-    block = StackBlock(features, n_joints, depth, dtype)
-    sdtype = jnp.promote_types(jnp.float32, dtype)
-
-    stack_specs = jax.tree.map(lambda _: P(STAGE_AXIS), stack_vars)
-
-    def body(local_vars, xs_rep):
-        s = jax.lax.axis_index(STAGE_AXIS)
-
-        def tick(carry, t):
-            inter, out = carry
-            x_t = jax.lax.dynamic_index_in_dim(
-                xs_rep, jnp.clip(t, 0, M - 1), 0, keepdims=False
-            )
-            inter = jnp.where(s == 0, x_t, inter)
-            htmap = None
-            for j in range(local):
-                pv = jax.tree.map(lambda a: a[j], local_vars)
-                htmap, inter = block.apply(pv, inter)
-            idx = t - (n_stages - 1)
-            upd = jax.lax.dynamic_update_index_in_dim(
-                out, htmap.astype(out.dtype), jnp.clip(idx, 0, M - 1), 0
-            )
-            out = jnp.where((s == n_stages - 1) & (idx >= 0), upd, out)
-            if n_stages > 1:
-                inter = jax.lax.ppermute(
-                    inter, STAGE_AXIS,
-                    [(i, i + 1) for i in range(n_stages - 1)],
-                )
-            return (inter, out), None
-
-        init = (
-            jnp.zeros((mb, h, w, features), stem_out.dtype),
-            jnp.zeros((M, mb, h, w, n_joints), sdtype),
-        )
-        # The carry is stage-varying (each stage holds different state);
-        # mark the replicated zeros as such for shard_map's VMA type check.
-        init = jax.tree.map(
-            lambda a: jax.lax.pcast(a, (STAGE_AXIS,), to="varying"), init
-        )
-        (_, out), _ = jax.lax.scan(
-            tick, init, jnp.arange(M + n_stages - 1)
-        )
-        # Only the last stage holds real outputs; replicate via psum.
-        out = jax.lax.psum(
-            jnp.where(s == n_stages - 1, out, jnp.zeros_like(out)),
-            STAGE_AXIS,
-        )
-        return out
-
-    out = shard_map(
-        body, mesh=mesh,
-        in_specs=(stack_specs, P()),
-        out_specs=P(),
-    )(stack_vars, xs)
-    return out.reshape(B, h, w, n_joints)
+    return fn(images)
 
 
 def pipeline_end2end(
@@ -289,14 +339,13 @@ def pipeline_end2end(
     microbatches: Optional[int] = None,
 ):
     """The fused frame->3D program (models/end2end.py) with its detector
-    pipelined over a 'stage' mesh: stem -> pipelined stacks -> softargmax
-    (x10 temperature, reference model/end2end.py:14) -> image space ->
-    MPII->H36M remap -> z-score -> lifting MLP. Returns (pose_img, pose_3d),
-    matching ``End2End.apply(...)[1:]`` to float tolerance
+    pipelined over a 'stage' mesh: stem -> pipelined stacks ->
+    ``ops.decode.decode_to_normalized`` (the same glue chain End2End uses)
+    -> lifting MLP. Returns (pose_img, pose_3d), matching
+    ``End2End.apply(...)[1:]`` to float tolerance
     (tests/test_parallel_pp.py)."""
     from bilinear_tpu.models.bilinear import BilinearUnit
-    from bilinear_tpu.ops.decode import heatmap_to_image_space, softargmax
-    from bilinear_tpu.ops.joints import H36M16_FROM_MPII
+    from bilinear_tpu.ops.decode import decode_to_normalized
 
     hg_vars = {col: tree["hourglass"] for col, tree in variables.items()}
     heat = pipeline_forward(
@@ -304,12 +353,9 @@ def pipeline_end2end(
         n_stacks=n_stacks, features=features, n_joints=n_joints,
         depth=depth, dtype=dtype, microbatches=microbatches,
     )
-    hm = jnp.transpose(heat, (0, 3, 1, 2))  # (B, J, H, W)
-    pose_hm = softargmax(hm, temperature)
-    pose_img = heatmap_to_image_space(pose_hm, centers, scales)
-    part16 = jnp.take(pose_img, jnp.asarray(H36M16_FROM_MPII), axis=-2)
-    flat = part16.reshape(part16.shape[0], -1)
-    normalized = (flat - mean_part) / std_part
+    pose_img, normalized = decode_to_normalized(
+        heat, centers, scales, mean_part, std_part, temperature
+    )
     bl_vars = {col: tree["bilinear"] for col, tree in variables.items()}
     pose_3d = BilinearUnit(dtype=dtype).apply(bl_vars, normalized, train=False)
     return pose_img, pose_3d

@@ -86,9 +86,29 @@ def test_pipeline_single_stage_degenerates(model_and_vars):
 def test_pipeline_validates_divisibility(model_and_vars):
     _, variables, x, _ = model_and_vars
     mesh = make_stage_mesh(stages=3)
-    with pytest.raises(ValueError, match="stacks do not divide"):
+    with pytest.raises(ValueError, match="stages do not divide"):
         pipeline_forward(variables, x, mesh, n_stacks=N_STACKS,
                          features=FEATURES, depth=DEPTH)
+    with pytest.raises(ValueError, match="devices"):
+        make_stage_mesh(stages=99)
+
+
+def test_make_pipeline_fn_is_reusable(model_and_vars):
+    """The compile-once serving entry: one split, one program, many calls."""
+    from bilinear_tpu.parallel.pp import make_pipeline_fn
+
+    _, variables, x, ref = model_and_vars
+    fn = make_pipeline_fn(
+        variables, make_stage_mesh(stages=2),
+        n_stacks=N_STACKS, features=FEATURES, depth=DEPTH, microbatches=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fn(x)), np.asarray(ref[-1]), rtol=1e-4, atol=5e-3
+    )
+    # Second call reuses the jitted program (and must match too).
+    np.testing.assert_allclose(
+        np.asarray(fn(x)), np.asarray(ref[-1]), rtol=1e-4, atol=5e-3
+    )
 
 
 def test_pipeline_end2end_matches_fused(model_and_vars):

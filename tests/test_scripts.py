@@ -104,4 +104,6 @@ def test_hourglass_sh_alternates_and_resumes(tmp_path):
     assert len(pckh_files) >= 2
     payload = json.loads(pckh_files[-1].read_text())
     assert payload["epoch"] == 2
-    assert 0.0 <= payload["avg"] <= 1.0 and payload["per_joint"]
+    # PCKh is reported in PERCENT (eval/pckh.py:85-88, matching the
+    # reference's valid_hourglass.py:138-142 log convention).
+    assert 0.0 <= payload["avg"] <= 100.0 and payload["per_joint"]
