@@ -145,6 +145,25 @@ def test_pipeline_end2end_matches_fused(model_and_vars):
     )
 
 
+def test_pipeline_int8_matches_int8_model(model_and_vars):
+    """quantize='int8' under PP equals the int8 MainModel eval forward —
+    the serving quantization keeps its kernel path when pipelined."""
+    from bilinear_tpu.parallel.pp import make_pipeline_fn
+
+    _, variables, x, _ = model_and_vars
+    q_model = MainModel(n_stacks=N_STACKS, features=FEATURES, depth=DEPTH,
+                        quantize="int8")
+    ref = jax.jit(lambda v, x: q_model.apply(v, x, train=False))(variables, x)
+    fn = make_pipeline_fn(
+        variables, make_stage_mesh(stages=2),
+        n_stacks=N_STACKS, features=FEATURES, depth=DEPTH, microbatches=2,
+        quantize="int8",
+    )
+    np.testing.assert_allclose(
+        np.asarray(fn(x)), np.asarray(ref[-1]), rtol=1e-4, atol=5e-3
+    )
+
+
 def test_spatial_sharding_matches_replicated(model_and_vars):
     """SP: input H axis sharded over all 8 devices; GSPMD halo exchange must
     reproduce the replicated conv stack bit-for-bit-tolerance output."""
