@@ -57,9 +57,6 @@ from bilinear_tpu.models.hourglass_torch7 import (
 STAGE_AXIS = "stage"
 
 _STEM_KEYS = ("stem_conv", "stem_bn", "stem_res1", "stem_res2", "stem_res3")
-_STACK_KEYS = ("hg", "lin", "htmap", "ll_bar", "htmap_bar")
-
-
 def make_stage_mesh(devices=None, stages: Optional[int] = None) -> Mesh:
     """1-axis ('stage',) mesh for pipeline execution."""
     devices = list(devices if devices is not None else jax.devices())
