@@ -46,10 +46,16 @@ def softargmax(heatmaps: jnp.ndarray, temperature: float = 10.0) -> jnp.ndarray:
     sum_over_x = jnp.sum(heatmaps, axis=-1)  # (..., H) -> y marginal
 
     def expectation(marginal, n):
-        p = jnp.exp(
-            temperature * marginal
-            - jnp.max(temperature * marginal, axis=-1, keepdims=True)
-        )
+        x = temperature * marginal
+        x = x - jnp.max(x, axis=-1, keepdims=True)
+        # The clip is a numerical barrier, not a heuristic: under jit, XLA's
+        # algebraic simplifier may hoist exp(-max) out of the downstream sum,
+        # recreating the overflowing exp(t*marginal) that the max-subtraction
+        # exists to avoid (inf * 0 -> NaN for |heatmap| >~ 1e7 garbage
+        # inputs). Clamping to [-80, 0] bounds exp's input on both sides so
+        # no reassociation can overflow; terms below exp(-80) contribute
+        # nothing to the expectation anyway.
+        p = jnp.exp(jnp.clip(x, -80.0, 0.0))
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         return jnp.sum(p * jnp.arange(n, dtype=jnp.float32), axis=-1)
 

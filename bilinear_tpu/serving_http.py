@@ -1,0 +1,423 @@
+"""Network serving: a dynamic-batching HTTP front-end over the compiled
+inference paths (serving.py).
+
+The reference's only online surface is the webcam loop
+(/root/reference/webcam.py:13-47) — one process, one frame at a time,
+no network interface. This module is the production counterpart for the
+TPU framework:
+
+- ``DynamicBatcher`` coalesces concurrent requests into one device
+  dispatch: the first arrival opens a batching window of ``max_delay_ms``
+  (or until ``max_rows`` are waiting); everything queued in the window
+  rides the same compiled program. Padding to compiled batch sizes is the
+  underlying server's job (serving.py::End2EndServer._chunks), so the
+  batcher only concatenates and scatters.
+- ``PoseHTTPServer`` exposes the service over HTTP (stdlib only):
+    GET  /healthz         -> JSON status (kind, epoch, counters)
+    POST /v1/lift         -> 2D->3D lifting (JSON or .npy body)
+    POST /v1/pose         -> frame->2D+3D, End2End program (.npz body)
+    POST /admin/reload    -> hot-swap to the newest checkpoint
+  and polls the run dir for new checkpoints every ``reload_every`` s
+  (zero-downtime rollover; in-flight batches finish on the old weights).
+
+Wire formats: JSON for convenience; ``application/x-npy`` /
+``application/x-npz`` (np.save / np.savez round-trips) for bulk traffic —
+a (N, 256, 256, 3) uint8 frame batch is ~50x smaller as npy than as JSON.
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Dynamic batching
+# ---------------------------------------------------------------------------
+
+
+class _Pending:
+    __slots__ = ("arrays", "n_rows", "event", "result", "error")
+
+    def __init__(self, arrays: Sequence[np.ndarray]):
+        self.arrays = arrays
+        self.n_rows = int(arrays[0].shape[0])
+        self.event = threading.Event()
+        self.result: Optional[tuple] = None
+        self.error: Optional[BaseException] = None
+
+
+class DynamicBatcher:
+    """Coalesce concurrent requests into single backend calls.
+
+    ``fn(*arrays) -> tuple_of_arrays``: every input/output shares the
+    leading (row) axis. A dedicated dispatcher thread owns all backend
+    calls, so device dispatch is serialized regardless of how many HTTP
+    handler threads are submitting.
+    """
+
+    def __init__(
+        self,
+        fn: Callable[..., tuple],
+        n_inputs: int,
+        max_delay_ms: float = 2.0,
+        max_rows: int = 256,
+    ):
+        self._fn = fn
+        self._n_inputs = n_inputs
+        self._max_delay = max_delay_ms / 1000.0
+        self._max_rows = max_rows
+        self._queue: List[_Pending] = []
+        self._lock = threading.Lock()
+        self._wakeup = threading.Condition(self._lock)
+        self._stopped = False
+        self.batches_dispatched = 0
+        self.rows_served = 0
+        self._thread = threading.Thread(
+            target=self._run, name="batcher", daemon=True
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------- client
+    def submit(self, *arrays: np.ndarray) -> tuple:
+        """Block until the coalesced batch containing these rows returns;
+        raises whatever the backend raised."""
+        if len(arrays) != self._n_inputs:
+            raise ValueError(
+                f"expected {self._n_inputs} arrays, got {len(arrays)}"
+            )
+        n = int(arrays[0].shape[0])
+        if any(int(a.shape[0]) != n for a in arrays):
+            raise ValueError("inputs disagree on the row count")
+        req = _Pending(arrays)
+        with self._lock:
+            if self._stopped:
+                raise RuntimeError("batcher is stopped")
+            self._queue.append(req)
+            self._wakeup.notify()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def stop(self) -> None:
+        with self._lock:
+            self._stopped = True
+            self._wakeup.notify()
+        self._thread.join(timeout=5)
+
+    # --------------------------------------------------------- dispatcher
+    def _take_batch(self) -> List[_Pending]:
+        """Wait for the first request, keep the window open for
+        max_delay_ms (or until max_rows), then drain."""
+        with self._lock:
+            while not self._queue and not self._stopped:
+                self._wakeup.wait()
+            if self._stopped and not self._queue:
+                return []
+            deadline = time.monotonic() + self._max_delay
+            while True:
+                rows = sum(r.n_rows for r in self._queue)
+                left = deadline - time.monotonic()
+                if rows >= self._max_rows or left <= 0 or self._stopped:
+                    break
+                self._wakeup.wait(timeout=left)
+            taken, self._queue = self._queue, []
+            return taken
+
+    def _run(self) -> None:
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                return
+            try:
+                joined = tuple(
+                    np.concatenate([r.arrays[i] for r in batch], axis=0)
+                    for i in range(self._n_inputs)
+                )
+                outs = self._fn(*joined)
+                if not isinstance(outs, tuple):
+                    outs = (outs,)
+                offset = 0
+                for r in batch:
+                    r.result = tuple(
+                        np.asarray(o)[offset : offset + r.n_rows] for o in outs
+                    )
+                    offset += r.n_rows
+                self.batches_dispatched += 1
+                self.rows_served += offset
+            except BaseException as e:  # propagate to every waiter
+                for r in batch:
+                    r.error = e
+            finally:
+                for r in batch:
+                    r.event.set()
+
+
+# ---------------------------------------------------------------------------
+# HTTP front-end
+# ---------------------------------------------------------------------------
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, arr, allow_pickle=False)
+    return buf.getvalue()
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # Populated by PoseHTTPServer.
+    service: "PoseHTTPServer"
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # route into the service logger
+        if self.service.logger is not None:
+            self.service.logger.debug("http: " + fmt % args)
+
+    # ---------------------------------------------------------- plumbing
+    def _body(self) -> bytes:
+        length = int(self.headers.get("Content-Length", 0))
+        if length > self.service.max_body_bytes:
+            raise ValueError(
+                f"body of {length} bytes exceeds the "
+                f"{self.service.max_body_bytes}-byte limit"
+            )
+        return self.rfile.read(length)
+
+    def _send(self, code: int, payload: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def _send_json(self, code: int, obj) -> None:
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def _fail(self, code: int, message: str) -> None:
+        self._send_json(code, {"error": message})
+
+    # ------------------------------------------------------------ routes
+    def do_GET(self):  # noqa: N802 (http.server API)
+        if self.path == "/healthz":
+            self._send_json(200, self.service.health())
+        else:
+            self._fail(404, f"no route {self.path}")
+
+    def do_POST(self):  # noqa: N802
+        try:
+            body = self._body()
+        except ValueError as e:
+            self._fail(413, str(e))
+            return
+        try:
+            if self.path == "/v1/lift":
+                self._lift(body)
+            elif self.path == "/v1/pose":
+                self._pose(body)
+            elif self.path == "/admin/reload":
+                self._send_json(200, self.service.reload_now())
+            else:
+                self._fail(404, f"no route {self.path}")
+        except (ValueError, KeyError, json.JSONDecodeError) as e:
+            self._fail(400, f"bad request: {e}")
+        except Exception as e:  # backend failure
+            self._fail(500, f"{type(e).__name__}: {e}")
+
+    def _lift(self, body: bytes) -> None:
+        ctype = self.headers.get("Content-Type", "application/json")
+        as_npy = ctype.startswith("application/x-npy")
+        if as_npy:
+            kp = np.load(io.BytesIO(body), allow_pickle=False)
+        else:
+            kp = np.asarray(
+                json.loads(body.decode())["keypoints"], np.float32
+            )
+        if kp.ndim != 3 or kp.shape[1:] != (16, 2):
+            raise ValueError(f"keypoints must be (N, 16, 2), got {kp.shape}")
+        (mm,) = self.service.lift_batcher.submit(kp.astype(np.float32))
+        if as_npy:
+            self._send(200, _npy_bytes(mm), "application/x-npy")
+        else:
+            self._send_json(200, {"poses_mm": mm.tolist()})
+
+    def _pose(self, body: bytes) -> None:
+        with np.load(io.BytesIO(body), allow_pickle=False) as z:
+            frames = z["frames"]
+            n = frames.shape[0]
+            centers = (
+                z["centers"].astype(np.float32)
+                if "centers" in z
+                else np.full((n, 2), 128.0, np.float32)
+            )
+            scales = (
+                z["scales"].astype(np.float32)
+                if "scales" in z
+                else np.full((n,), 256.0 / 200.0, np.float32)
+            )
+        if frames.ndim != 4 or frames.shape[1:] != (256, 256, 3):
+            raise ValueError(
+                f"frames must be (N, 256, 256, 3), got {frames.shape}"
+            )
+        if frames.dtype == np.uint8:
+            frames = frames.astype(np.float32) / 255.0
+        pose2d, pose3d = self.service.pose_batcher.submit(
+            frames.astype(np.float32), centers, scales
+        )
+        self._send(
+            200,
+            _npz_bytes(pose2d=pose2d, pose3d_mm=pose3d),
+            "application/x-npz",
+        )
+
+
+class PoseHTTPServer:
+    """Serve a LiftingServer and/or End2EndServer over HTTP with dynamic
+    batching and periodic checkpoint hot-reload.
+
+    ``lifting`` / ``end2end``: the serving.py objects (either may be None;
+    the corresponding route then 404s at the batcher level with a clear
+    message). ``reload_every``: seconds between run-dir polls (0 disables
+    the poll thread; POST /admin/reload still works).
+    """
+
+    def __init__(
+        self,
+        lifting=None,
+        end2end=None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_delay_ms: float = 2.0,
+        max_rows: int = 256,
+        reload_every: float = 0.0,
+        max_body_bytes: int = 256 * 1024 * 1024,
+        logger=None,
+    ):
+        if lifting is None and end2end is None:
+            raise ValueError("need at least one of lifting/end2end")
+        self.lifting = lifting
+        self.end2end = end2end
+        self.logger = logger
+        self.max_body_bytes = max_body_bytes
+        self.started = time.time()
+        self._reload_lock = threading.Lock()
+        self._reload_every = reload_every
+        self._stop_poll = threading.Event()
+
+        def lift_fn(kp):
+            if self.lifting is None:
+                raise ValueError("no lifting model is loaded")
+            return (np.asarray(self.lifting.lift(kp), np.float32),)
+
+        def pose_fn(frames, centers, scales):
+            if self.end2end is None:
+                raise ValueError("no end2end model is loaded")
+            p2, p3 = self.end2end.predict(frames, centers, scales)
+            return np.asarray(p2, np.float32), np.asarray(p3, np.float32)
+
+        self.lift_batcher = DynamicBatcher(
+            lift_fn, n_inputs=1, max_delay_ms=max_delay_ms, max_rows=max_rows
+        )
+        self.pose_batcher = DynamicBatcher(
+            pose_fn, n_inputs=3, max_delay_ms=max_delay_ms, max_rows=max_rows
+        )
+
+        handler = type("BoundHandler", (_Handler,), {"service": self})
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._httpd.daemon_threads = True
+        self.host, self.port = self._httpd.server_address[:2]
+        self._serve_thread = threading.Thread(
+            target=self._httpd.serve_forever, name="http", daemon=True
+        )
+        self._poll_thread = None
+
+    # ------------------------------------------------------------ control
+    def start(self) -> None:
+        self._serve_thread.start()
+        if self._reload_every > 0:
+            self._poll_thread = threading.Thread(
+                target=self._poll_reload, name="reload-poll", daemon=True
+            )
+            self._poll_thread.start()
+        if self.logger is not None:
+            self.logger.info(
+                "serving on http://%s:%d (lift=%s, pose=%s)",
+                self.host, self.port,
+                self.lifting is not None, self.end2end is not None,
+            )
+
+    def stop(self) -> None:
+        self._stop_poll.set()
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self.lift_batcher.stop()
+        self.pose_batcher.stop()
+        if self._poll_thread is not None:
+            self._poll_thread.join(timeout=5)
+
+    def serve_forever(self) -> None:
+        """Blocking variant for the CLI."""
+        self.start()
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            self.stop()
+
+    # ------------------------------------------------------------- status
+    def health(self) -> dict:
+        out = {
+            "status": "ok",
+            "uptime_s": round(time.time() - self.started, 3),
+            "lift": None,
+            "pose": None,
+        }
+        if self.lifting is not None:
+            out["lift"] = {
+                "batches": self.lift_batcher.batches_dispatched,
+                "rows": self.lift_batcher.rows_served,
+            }
+        if self.end2end is not None:
+            out["pose"] = {
+                "epoch": self.end2end.epoch,
+                "batches": self.pose_batcher.batches_dispatched,
+                "rows": self.pose_batcher.rows_served,
+            }
+        return out
+
+    # ---------------------------------------------------------- hot reload
+    def reload_now(self) -> dict:
+        """Check the run dir(s) for newer checkpoints; swap if found.
+        End2EndServer.reload() handles the dir scan; the swap is a Python
+        reference assignment, so in-flight batches finish on old weights."""
+        with self._reload_lock:
+            reloaded = False
+            if self.end2end is not None:
+                reloaded = bool(self.end2end.reload()) or reloaded
+            return {
+                "reloaded": reloaded,
+                "epoch": self.end2end.epoch if self.end2end else None,
+            }
+
+    def _poll_reload(self) -> None:
+        while not self._stop_poll.wait(self._reload_every):
+            try:
+                result = self.reload_now()
+                if result["reloaded"] and self.logger is not None:
+                    self.logger.info(
+                        "hot-reloaded checkpoint epoch %s", result["epoch"]
+                    )
+            except Exception as e:  # keep polling through transient errors
+                if self.logger is not None:
+                    self.logger.warning("reload poll failed: %s", e)

@@ -1,4 +1,5 @@
 """Decode/flip-TTA parity vs torch transcriptions of the reference protocols."""
+import jax
 import numpy as np
 
 import jax.numpy as jnp
@@ -61,6 +62,27 @@ def test_softargmax_peaks_at_argmax():
     out = np.asarray(softargmax(jnp.asarray(hm)))
     np.testing.assert_allclose(out[:, 0], 45, atol=0.5)
     np.testing.assert_allclose(out[:, 1], 20, atol=0.5)
+
+
+def test_softargmax_finite_under_jit_at_extreme_magnitudes():
+    """Regression: XLA's algebraic simplifier can hoist exp(-max) out of the
+    softmax sum, recreating the overflowing exp(10*marginal) for heatmaps
+    >~1e7 (garbage weights in a serving hot-reload scenario). The clip
+    barrier in ops/decode.py::softargmax must keep the jitted program
+    finite at any input magnitude, and exact at sane ones."""
+    rng = np.random.RandomState(7)
+    base = rng.rand(2, 16, 64, 64).astype(np.float32)
+    jitted = jax.jit(softargmax)
+    for mag in (1.0, 1e3, 1e7, 1e20):
+        out = np.asarray(jitted(jnp.asarray(base * mag)))
+        assert np.isfinite(out).all(), f"non-finite at magnitude {mag:g}"
+        assert (out >= 0).all() and (out <= 63).all()
+    # at sane magnitudes jit and eager agree exactly
+    np.testing.assert_allclose(
+        np.asarray(jitted(jnp.asarray(base))),
+        np.asarray(softargmax(jnp.asarray(base))),
+        rtol=1e-5, atol=1e-4,
+    )
 
 
 def test_flip_average_matches_reference():

@@ -1,0 +1,288 @@
+"""HTTP serving daemon: dynamic batching, wire formats, hot reload.
+
+The server under test runs in-process (threads) on a loopback port with
+the tiny End2End model and interpret-mode lifting kernel, so everything
+here is CPU-only and fast.
+"""
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bilinear_tpu.data.h36m import Protocol, Task, load_h36m
+from bilinear_tpu.data.synthetic import write_h36m_dataset
+from bilinear_tpu.io.checkpoint import save_checkpoint
+from bilinear_tpu.serving import End2EndServer, LiftingServer
+from bilinear_tpu.serving_http import DynamicBatcher, PoseHTTPServer
+
+E2E_KW = dict(n_stacks=1, features=8, depth=1)
+
+
+# ---------------------------------------------------------------------------
+# DynamicBatcher unit tests (no HTTP, no models)
+# ---------------------------------------------------------------------------
+
+
+def test_batcher_coalesces_and_scatters():
+    calls = []
+
+    def fn(x):
+        calls.append(x.shape[0])
+        return (x * 2.0,)
+
+    # Wide window: this box has one CPU core, so thread starts can lag.
+    b = DynamicBatcher(fn, n_inputs=1, max_delay_ms=1000.0)
+    results = {}
+
+    def client(i):
+        x = np.full((i + 1, 3), float(i), np.float32)
+        (y,) = b.submit(x)
+        results[i] = y
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    b.stop()
+
+    for i in range(4):
+        np.testing.assert_array_equal(
+            results[i], np.full((i + 1, 3), 2.0 * i, np.float32)
+        )
+    # 4 concurrent requests inside one 30 ms window -> fewer backend calls
+    # than requests (usually exactly 1), and rows add up.
+    assert len(calls) < 4
+    assert sum(calls) == 1 + 2 + 3 + 4
+
+
+def test_batcher_max_rows_closes_window():
+    def fn(x):
+        return (x,)
+
+    b = DynamicBatcher(fn, n_inputs=1, max_delay_ms=10_000.0, max_rows=4)
+    # A single submit of >= max_rows rows must not wait out the 10 s window.
+    (y,) = b.submit(np.zeros((5, 2), np.float32))
+    assert y.shape == (5, 2)
+    b.stop()
+
+
+def test_batcher_propagates_errors():
+    def fn(x):
+        raise RuntimeError("backend exploded")
+
+    b = DynamicBatcher(fn, n_inputs=1, max_delay_ms=1.0)
+    with pytest.raises(RuntimeError, match="backend exploded"):
+        b.submit(np.zeros((1, 2), np.float32))
+    # The dispatcher thread must survive the error and serve again.
+    with pytest.raises(RuntimeError, match="backend exploded"):
+        b.submit(np.zeros((1, 2), np.float32))
+    b.stop()
+
+
+def test_batcher_input_validation():
+    b = DynamicBatcher(lambda x, y: (x,), n_inputs=2, max_delay_ms=1.0)
+    with pytest.raises(ValueError, match="expected 2"):
+        b.submit(np.zeros((1, 2)))
+    with pytest.raises(ValueError, match="row count"):
+        b.submit(np.zeros((1, 2)), np.zeros((2, 2)))
+    b.stop()
+
+
+# ---------------------------------------------------------------------------
+# Full daemon over HTTP
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def daemon(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("Human3.6M"))
+    write_h36m_dataset(d, n_train=64, n_valid=16)
+    splits = load_h36m(d, Protocol.GT)
+    tr = splits[Task.Train]
+
+    from bilinear_tpu.train.bilinear import BilinearTrainer
+    from bilinear_tpu.train.end2end import End2EndTrainer
+
+    lift_dir = str(tmp_path_factory.mktemp("lift_run"))
+    lift_state = BilinearTrainer(batch_size=16).init_state(jax.random.PRNGKey(0))
+    save_checkpoint(lift_dir + "/parameter", 1, lift_state)
+
+    e2e_dir = str(tmp_path_factory.mktemp("e2e_run"))
+    e2e_trainer = End2EndTrainer(model_kw=E2E_KW)
+    e2e_state = e2e_trainer.init_state(
+        jax.random.PRNGKey(0), jnp.asarray(tr.mean_part), jnp.asarray(tr.std_part)
+    )
+    save_checkpoint(e2e_dir + "/parameter", 1, e2e_state)
+
+    lifting, _ = LiftingServer.from_run_dir(
+        lift_dir, tr, dtype=jnp.float32, interpret=True
+    )
+    end2end = End2EndServer.from_run_dir(
+        e2e_dir, tr, model_kw=E2E_KW, dtype=jnp.float32, batch_sizes=(1, 4)
+    )
+    # 250 ms batching window: wide enough that the concurrency test's six
+    # HTTP clients land in few batches even under full CPU contention.
+    server = PoseHTTPServer(
+        lifting=lifting, end2end=end2end, port=0, max_delay_ms=250.0
+    )
+    server.start()
+    yield server, tr, e2e_dir, e2e_state, lifting
+    server.stop()
+
+
+def _url(server, path):
+    return f"http://{server.host}:{server.port}{path}"
+
+
+def _post(server, path, body, ctype):
+    req = urllib.request.Request(
+        _url(server, path), data=body, headers={"Content-Type": ctype}
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.read(), r.headers.get("Content-Type")
+
+
+def test_healthz(daemon):
+    server = daemon[0]
+    with urllib.request.urlopen(_url(server, "/healthz"), timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    assert h["pose"]["epoch"] == 1
+
+
+def test_lift_json_and_npy_match_direct(daemon):
+    server, tr, _, _, lifting = daemon
+    kp = tr.raw_part[:6].reshape(6, 16, 2).astype(np.float32)
+    want = np.asarray(lifting.lift(kp))
+
+    body = json.dumps({"keypoints": kp.tolist()}).encode()
+    out, _ = _post(server, "/v1/lift", body, "application/json")
+    got = np.asarray(json.loads(out)["poses_mm"], np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+    buf = io.BytesIO()
+    np.save(buf, kp)
+    out, ctype = _post(server, "/v1/lift", buf.getvalue(), "application/x-npy")
+    assert ctype == "application/x-npy"
+    got_npy = np.load(io.BytesIO(out))
+    np.testing.assert_allclose(got_npy, want, rtol=1e-4, atol=1e-3)
+
+
+def test_pose_npz_matches_direct(daemon):
+    server = daemon[0]
+    frames = np.random.RandomState(0).rand(3, 256, 256, 3).astype(np.float32)
+    p2_want, p3_want = server.end2end.predict(frames)
+
+    buf = io.BytesIO()
+    np.savez(buf, frames=frames)
+    out, ctype = _post(server, "/v1/pose", buf.getvalue(), "application/x-npz")
+    assert ctype == "application/x-npz"
+    with np.load(io.BytesIO(out)) as z:
+        np.testing.assert_allclose(z["pose2d"], p2_want, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(z["pose3d_mm"], p3_want, rtol=1e-4, atol=1e-2)
+
+
+def test_concurrent_lift_requests_coalesce(daemon):
+    server, tr, _, _, lifting = daemon
+    kp = tr.raw_part[:2].reshape(2, 16, 2).astype(np.float32)
+    want = np.asarray(lifting.lift(kp))
+    body = json.dumps({"keypoints": kp.tolist()}).encode()
+
+    before = server.lift_batcher.batches_dispatched
+    outs = [None] * 6
+    errs = []
+
+    def client(i):
+        try:
+            out, _ = _post(server, "/v1/lift", body, "application/json")
+            outs[i] = np.asarray(json.loads(out)["poses_mm"], np.float32)
+        except Exception as e:  # surface in the main thread
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    for o in outs:
+        np.testing.assert_allclose(o, want, rtol=1e-4, atol=1e-3)
+    dispatched = server.lift_batcher.batches_dispatched - before
+    assert dispatched < 6  # at least some coalescing happened
+    assert server.lift_batcher.rows_served >= 12
+
+
+def test_http_reload_route(daemon):
+    server, _, e2e_dir, e2e_state, _ = daemon
+    frames = np.random.RandomState(1).rand(1, 256, 256, 3).astype(np.float32)
+    _, before = server.end2end.predict(frames)
+
+    out, _ = _post(server, "/admin/reload", b"", "application/json")
+    assert json.loads(out) == {"reloaded": False, "epoch": 1}
+
+    bumped = e2e_state.replace(
+        params=jax.tree.map(lambda v: v + 0.05, e2e_state.params)
+    )
+    save_checkpoint(e2e_dir + "/parameter", 2, bumped)
+    out, _ = _post(server, "/admin/reload", b"", "application/json")
+    assert json.loads(out) == {"reloaded": True, "epoch": 2}
+    _, after = server.end2end.predict(frames)
+    assert not np.allclose(after, before)
+
+
+def test_bad_requests_are_400(daemon):
+    server = daemon[0]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/lift", b"not json", "application/json")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(
+            server, "/v1/lift",
+            json.dumps({"keypoints": [[1.0, 2.0]]}).encode(),
+            "application/json",
+        )
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/nope", b"", "application/json")
+    assert e.value.code == 404
+
+
+def test_serve_cli_build(daemon, tmp_path):
+    """cli/serve.py's parser + build_server produce a working daemon
+    (end-to-end through /healthz and /v1/pose), without the serve loop."""
+    import bilinear_tpu.cli.serve as serve_mod
+
+    _, _, e2e_dir, _, _ = daemon
+    data_dir = str(tmp_path / "h36m")
+    write_h36m_dataset(data_dir, n_train=32, n_valid=8)
+    ns = serve_mod.build_parser().parse_args([
+        "--kind", "end2end", "--run-dir", e2e_dir, "--data-dir", data_dir,
+        "--dtype", "float32", "--n-stacks", "1", "--features", "8",
+        "--depth", "1", "--batch-sizes", "1", "4", "--port", "0",
+        "--reload-every", "0",
+    ])
+    srv = serve_mod.build_server(ns)
+    srv.start()
+    try:
+        with urllib.request.urlopen(_url(srv, "/healthz"), timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        frames = (np.random.RandomState(3).rand(2, 256, 256, 3) * 255).astype(
+            np.uint8
+        )
+        buf = io.BytesIO()
+        np.savez(buf, frames=frames)
+        out, _ = _post(srv, "/v1/pose", buf.getvalue(), "application/x-npz")
+        with np.load(io.BytesIO(out)) as z:
+            assert z["pose2d"].shape == (2, 16, 2)
+            assert z["pose3d_mm"].shape == (2, 16, 3)
+            assert np.isfinite(z["pose3d_mm"]).all()
+    finally:
+        srv.stop()
