@@ -255,6 +255,53 @@ def test_bad_requests_are_400(daemon):
     assert e.value.code == 404
 
 
+def test_pose_client_round_trips(daemon):
+    """client.py::PoseClient end-to-end against the live daemon: lift and
+    pose match the direct server objects; health/reload work; server-side
+    validation errors surface as ServerError with the daemon's message."""
+    from bilinear_tpu.client import PoseClient, ServerError
+
+    server, tr, _, _, lifting = daemon
+    client = PoseClient(f"http://{server.host}:{server.port}", timeout=60)
+
+    h = client.health()
+    assert h["status"] == "ok" and h["pose"] is not None
+
+    kp = tr.raw_part[:5].reshape(5, 16, 2).astype(np.float32)
+    mm = client.lift(kp)
+    want = np.asarray(lifting.lift(kp)).reshape(5, 16, 3)
+    np.testing.assert_allclose(mm, want, rtol=1e-4, atol=1e-3)
+
+    frames = (np.random.RandomState(9).rand(2, 256, 256, 3) * 255).astype(
+        np.uint8
+    )
+    p2, p3 = client.pose(frames)
+    w2, w3 = server.end2end.predict(frames)
+    np.testing.assert_allclose(p2, w2, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(p3, w3, rtol=1e-4, atol=1e-2)
+
+    r = client.reload()
+    assert set(r) == {"reloaded", "epoch"}
+
+    with pytest.raises(ValueError, match=r"\(N, 16, 2\)"):
+        client.lift(np.zeros((3, 2), np.float32))  # client-side shape gate
+    with pytest.raises(ServerError) as e:
+        # valid npy wire bytes, wrong payload shape -> server-side 400
+        client._request(
+            "/v1/lift",
+            _npy_wire(np.zeros((1, 2, 2), np.float32)),
+            "application/x-npy",
+            method="POST",
+        )
+    assert e.value.status == 400 and "16, 2" in e.value.message
+
+
+def _npy_wire(arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
 def test_serve_cli_build(daemon, tmp_path):
     """cli/serve.py's parser + build_server produce a working daemon
     (end-to-end through /healthz and /v1/pose), without the serve loop."""
