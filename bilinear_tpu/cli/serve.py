@@ -73,6 +73,7 @@ def build_server(args, logger=None) -> PoseHTTPServer:
         port=args.port,
         max_delay_ms=args.max_delay_ms,
         max_rows=args.max_rows,
+        max_pending_rows=args.max_pending_rows,
         reload_every=args.reload_every,
         logger=logger,
     )
@@ -98,6 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-sizes", type=int, nargs="+", default=[1, 8, 64])
     p.add_argument("--max-delay-ms", type=float, default=2.0)
     p.add_argument("--max-rows", type=int, default=256)
+    p.add_argument("--max-pending-rows", type=int, default=8192,
+                   help="admission-control bound; beyond it requests get 503")
     p.add_argument("--reload-every", type=float, default=30.0)
     p.add_argument("--interpret", action="store_true",
                    help="interpret-mode Pallas kernels (CPU testing)")

@@ -77,13 +77,12 @@ def main(argv=None) -> None:
             state, pipeline, epoch, jax.random.fold_in(rng, epoch),
             log_every=50, logger=logger, group=cfg.steps_per_dispatch,
         )
-        if primary:
-            save_checkpoint(parameter_dir, epoch, state)
         loss = float(loss)
+        if not primary:
+            continue  # checkpoint/TB/log are primary-only artifacts
+        save_checkpoint(parameter_dir, epoch, state)
         writer.scalar("HG/loss", loss, int(state.step))
         logger.info("Epoch %d saved (loss: %f)", epoch, loss)
-        if not primary:
-            continue
 
         # Heatmap-overlay TB images, as in train_hourglass.py:84-89.
         batch = next(iter(pipeline.epoch(epoch)))

@@ -25,48 +25,19 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from bilinear_tpu.core.initializers import (
-    torch_bias_init,
-    torch_conv_default_kernel,
-)
 from bilinear_tpu.core.norm import TorchBatchNorm
+from bilinear_tpu.models.layers import ConvParams, conv2d
 from bilinear_tpu.ops.int8 import int8_conv
 
 
 def _conv(features, kernel, name, stride=1, bias=False, dtype=jnp.float32,
           fan_in=None):
-    pad = (kernel - 1) // 2
-    return nn.Conv(
-        features,
-        (kernel, kernel),
-        strides=(stride, stride),
-        padding=pad,
-        use_bias=bias,
-        kernel_init=torch_conv_default_kernel(),
-        bias_init=torch_bias_init(fan_in) if fan_in else nn.initializers.zeros,
-        dtype=dtype,
-        name=name,
-    )
+    # Preact family default: bias-less convs (model/hourglass.py:7-12).
+    return conv2d(features, kernel, name, bias=bias, stride=stride,
+                  dtype=dtype, fan_in=fan_in)
 
 
-class _ConvP(nn.Module):
-    """Parameter holder mirroring nn.Conv's variable names/shapes/inits
-    (optional bias, matching _conv's use_bias/fan_in semantics), so the
-    int8 path's checkpoint tree is identical to the standard path's."""
-
-    kshape: tuple
-    bias: bool = False
-    fan_in: Optional[int] = None
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param("kernel", torch_conv_default_kernel(), self.kshape)
-        b = None
-        if self.bias:
-            init = (torch_bias_init(self.fan_in) if self.fan_in
-                    else nn.initializers.zeros)
-            b = self.param("bias", init, (self.kshape[-1],))
-        return kernel, b
+_ConvP = ConvParams  # shared nn.Conv-mirroring param holder (layers.py)
 
 
 class LightConv(nn.Module):

@@ -24,11 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from bilinear_tpu.core.initializers import (
-    torch_bias_init,
-    torch_conv_default_kernel,
-)
 from bilinear_tpu.core.norm import TorchBatchNorm
+from bilinear_tpu.models.layers import ConvParams, conv2d
 from bilinear_tpu.ops.int8 import int8_conv
 
 N_STACKS = 8
@@ -39,36 +36,15 @@ N_DEPTH = 4
 
 def _conv(features, kernel, name, stride=1, bias=True, dtype=jnp.float32,
           fan_in=None):
-    pad = (kernel - 1) // 2
-    return nn.Conv(
-        features,
-        (kernel, kernel),
-        strides=(stride, stride),
-        padding=pad,
-        use_bias=bias,
-        kernel_init=torch_conv_default_kernel(),
-        bias_init=torch_bias_init(fan_in) if fan_in else nn.initializers.zeros,
-        dtype=dtype,
-        name=name,
-    )
+    # Torch7 family default: biased convs (model/hourglass_torch7.py:14-39).
+    return conv2d(features, kernel, name, bias=bias, stride=stride,
+                  dtype=dtype, fan_in=fan_in)
 
 
-class _ConvP(nn.Module):
-    """Parameter-holder mirroring nn.Conv's variable names/shapes/inits so
-    the fused path's checkpoint tree is identical to the standard path's.
-    Param rng streams match too: flax folds rngs by scope path, and within
-    the scope kernel-then-bias is nn.Conv's declaration order."""
-
-    kshape: tuple
-    fan_in: int
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param("kernel", torch_conv_default_kernel(), self.kshape)
-        bias = self.param(
-            "bias", torch_bias_init(self.fan_in), (self.kshape[-1],)
-        )
-        return kernel, bias
+def _ConvP(kshape, fan_in, name):
+    """This family's convs always carry a bias with torch's fan_in init;
+    the shared holder (models/layers.py::ConvParams) covers the rest."""
+    return ConvParams(kshape, bias=True, fan_in=fan_in, name=name)
 
 
 class _BNState(nn.Module):

@@ -67,19 +67,27 @@ def global_batch(mesh: Mesh, tree):
     """Multi-process analogue of shard_batch: each process passes its LOCAL
     shard of the batch (leading dim = global_batch / process_count) and gets
     back global jax.Arrays sharded over 'data' — the contract of
-    jax.make_array_from_process_local_data. Arrays whose leading dim is not
-    per-process batch-like (e.g. scalar stats) must be identical across
-    processes and come back replicated."""
+    jax.make_array_from_process_local_data.
+
+    EVERY leaf must be batch-like. Non-batch arrays (stats, scalars) must
+    not ride this tree — a "shard if divisible, replicate otherwise" rule
+    would silently concatenate per-process copies of a stats vector whose
+    length happens to divide the mesh, so we fail loudly instead."""
     n_proc = jax.process_count()
     n_data = mesh.shape[DATA_AXIS]
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim >= 1 and (x.shape[0] * n_proc) % n_data == 0:
-            return jax.make_array_from_process_local_data(
-                batch_sharding(mesh, x.ndim), x
+        if x.ndim < 1 or (x.shape[0] * n_proc) % n_data != 0:
+            raise ValueError(
+                f"global_batch leaf of shape {x.shape} is not batch-like: "
+                f"{x.shape[0] if x.ndim else 1} rows x {n_proc} processes "
+                f"does not divide the {n_data}-way data axis. Pass stats/"
+                "scalars separately (they are replicated by jit on use)."
             )
-        return jax.make_array_from_process_local_data(replicated(mesh), x)
+        return jax.make_array_from_process_local_data(
+            batch_sharding(mesh, x.ndim), x
+        )
 
     return jax.tree.map(put, tree)
 

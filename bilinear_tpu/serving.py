@@ -66,22 +66,16 @@ class LiftingServer:
         if quantize not in (None, "int8"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
         self._quantize = quantize
-        self._params = params
-        self._batch_stats = batch_stats
-        if quantize == "int8":
-            from bilinear_tpu.ops.pallas.lifting_int8 import (
-                prepare_weights_int8,
-            )
-
-            self._prepared = prepare_weights_int8(params, batch_stats)
-        else:
-            self._prepared = prepare_weights(params, batch_stats, dtype)
+        self._dtype = dtype
+        self._interpret = interpret
+        self._set_weights(params, batch_stats)
+        self.parameter_dir: Optional[str] = None  # set by from_run_dir
+        self.epoch = 0
+        self._template = None
         self._mean_part = jnp.asarray(mean_part)
         self._std_part = jnp.asarray(std_part)
         self._mean_s = jnp.asarray(mean_s)
         self._std_s = jnp.asarray(std_s)
-        self._dtype = dtype
-        self._interpret = interpret
 
         self._mesh = mesh
         if mesh is not None:
@@ -116,18 +110,37 @@ class LiftingServer:
                 )
             )
 
+    def _set_weights(self, params, batch_stats) -> None:
+        """(Re)fold the checkpoint into the kernel's prepared form."""
+        self._params = params
+        self._batch_stats = batch_stats
+        if self._quantize == "int8":
+            from bilinear_tpu.ops.pallas.lifting_int8 import (
+                prepare_weights_int8,
+            )
+
+            self._prepared = prepare_weights_int8(params, batch_stats)
+        else:
+            self._prepared = prepare_weights(params, batch_stats, self._dtype)
+
     @classmethod
     def from_run_dir(cls, run_dir: str, split: H36MSplit, **kw):
-        """Load the newest ``{run_dir}/parameter/{epoch}.save`` checkpoint and
-        take normalization stats from the (train) split."""
+        """Serve the newest ``{run_dir}/parameter/{epoch}.save`` checkpoint
+        (normalization stats come from the train split) with hot-reload
+        enabled. Raises FileNotFoundError when the dir holds no checkpoint —
+        a serving process must never silently serve random init."""
         from bilinear_tpu.train.bilinear import BilinearTrainer
 
         trainer = BilinearTrainer()
         template = trainer.init_state(jax.random.PRNGKey(0))
-        state, epoch = resume_or_init(
-            template, os.path.join(run_dir, "parameter")
-        )
-        return cls(
+        parameter_dir = os.path.join(run_dir, "parameter")
+        state, epoch = resume_or_init(template, parameter_dir)
+        if epoch == 0:
+            raise FileNotFoundError(
+                f"no checkpoint under {parameter_dir!r} — refusing to serve "
+                "uninitialized weights"
+            )
+        server = cls(
             state.params,
             state.batch_stats,
             split.mean_part,
@@ -135,7 +148,25 @@ class LiftingServer:
             split.mean_s,
             split.std_s,
             **kw,
-        ), epoch
+        )
+        server.parameter_dir = parameter_dir
+        server.epoch = epoch
+        server._template = template
+        return server, epoch
+
+    def reload(self) -> bool:
+        """Swap in the newest checkpoint (re-folding the kernel weights) if
+        one landed since construction. Returns True when weights changed."""
+        if self.parameter_dir is None or self._template is None:
+            return False
+        newest = latest_epoch(self.parameter_dir)
+        if newest <= self.epoch:
+            return False
+        payload = load_checkpoint(self.parameter_dir, newest)
+        state = restore_state(self._template, payload)
+        self._set_weights(state.params, state.batch_stats)
+        self.epoch = newest
+        return True
 
     def _forward(self, x) -> jnp.ndarray:
         if self._mesh is not None:
@@ -243,8 +274,39 @@ class End2EndServer:
         self.batch_sizes = tuple(sorted(set(int(b) for b in batch_sizes)))
         self.parameter_dir = parameter_dir
         self.epoch = epoch
-        self._compiled = {}
         self._template = None  # set by from_run_dir; required for reload()
+
+        model, mean_p, std_p = self.model, self._mean_part, self._std_part
+
+        def fwd(variables, frames, centers, scales):
+            _, pose2d, pose3d = model.apply(
+                variables, frames, centers, scales, mean_p, std_p,
+                train=False,
+            )
+            return pose2d, pose3d
+
+        # One jitted callable for every batch size: jax.jit caches one
+        # executable per input shape, so each entry of batch_sizes compiles
+        # exactly once on first use — _chunks() guarantees only those
+        # shapes are ever dispatched.
+        if mesh is None:
+            self._jitted = jax.jit(fwd)
+        else:
+            from bilinear_tpu.parallel.mesh import batch_sharding, replicated
+
+            self._jitted = jax.jit(
+                fwd,
+                in_shardings=(
+                    replicated(mesh),
+                    batch_sharding(mesh, 4),
+                    batch_sharding(mesh, 2),
+                    batch_sharding(mesh, 1),
+                ),
+                out_shardings=(
+                    batch_sharding(mesh, 3),
+                    batch_sharding(mesh, 2),
+                ),
+            )
 
     @classmethod
     def from_run_dir(cls, run_dir: str, split: H36MSplit, variant="torch7",
@@ -260,6 +322,11 @@ class End2EndServer:
         template = trainer.init_state(jax.random.PRNGKey(0), mean, std)
         parameter_dir = os.path.join(run_dir, "parameter")
         state, epoch = resume_or_init(template, parameter_dir)
+        if epoch == 0:
+            raise FileNotFoundError(
+                f"no checkpoint under {parameter_dir!r} — refusing to serve "
+                "uninitialized weights"
+            )
         server = cls(
             {"params": state.params, "batch_stats": state.batch_stats},
             split.mean_part, split.std_part, split.mean_s, split.std_s,
@@ -287,42 +354,6 @@ class End2EndServer:
         return True
 
     # ------------------------------------------------------------ dispatch
-    def _fn(self, batch: int):
-        if batch not in self._compiled:
-            model = self.model
-            mean_p, std_p = self._mean_part, self._std_part
-
-            def fwd(variables, frames, centers, scales):
-                _, pose2d, pose3d = model.apply(
-                    variables, frames, centers, scales, mean_p, std_p,
-                    train=False,
-                )
-                return pose2d, pose3d
-
-            if self._mesh is None:
-                jitted = jax.jit(fwd)
-            else:
-                from bilinear_tpu.parallel.mesh import (
-                    batch_sharding,
-                    replicated,
-                )
-
-                jitted = jax.jit(
-                    fwd,
-                    in_shardings=(
-                        replicated(self._mesh),
-                        batch_sharding(self._mesh, 4),
-                        batch_sharding(self._mesh, 2),
-                        batch_sharding(self._mesh, 1),
-                    ),
-                    out_shardings=(
-                        batch_sharding(self._mesh, 3),
-                        batch_sharding(self._mesh, 2),
-                    ),
-                )
-            self._compiled[batch] = jitted
-        return self._compiled[batch]
-
     def _chunks(self, n: int):
         """Greedy largest-first split of n into compiled batch sizes; the
         remainder is padded up to the smallest size that fits."""
@@ -358,6 +389,9 @@ class End2EndServer:
 
         pose2d = np.zeros((n, 16, 2), np.float32)
         pose3d_n = np.zeros((n, 48), np.float32)
+        # Snapshot once: a concurrent hot-reload between chunk dispatches
+        # must not mix weight epochs within one response.
+        variables = self._variables
         done = 0
         for take, batch in self._chunks(n):
             idx = slice(done, done + take)
@@ -369,7 +403,7 @@ class End2EndServer:
                 f = np.concatenate([f, np.zeros((pad,) + f.shape[1:], f.dtype)])
                 c = np.concatenate([c, np.full((pad, 2), 128.0, np.float32)])
                 s = np.concatenate([s, np.ones((pad,), np.float32)])
-            p2, p3 = self._fn(batch)(self._variables, f, c, s)
+            p2, p3 = self._jitted(variables, f, c, s)
             pose2d[idx] = np.asarray(p2, np.float32)[:take]
             pose3d_n[idx] = np.asarray(p3, np.float32)[:take]
             done += take

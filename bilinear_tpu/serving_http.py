@@ -41,6 +41,14 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+class ModelNotLoaded(Exception):
+    """A route's model was not configured on this daemon (-> HTTP 404)."""
+
+
+class ServerBusy(Exception):
+    """The batcher's pending-row budget is exhausted (-> HTTP 503)."""
+
+
 class _Pending:
     __slots__ = ("arrays", "n_rows", "event", "result", "error")
 
@@ -67,17 +75,25 @@ class DynamicBatcher:
         n_inputs: int,
         max_delay_ms: float = 2.0,
         max_rows: int = 256,
+        max_pending_rows: int = 8192,
     ):
+        """``max_pending_rows`` bounds the queue (admission control): a
+        request that would push the total queued rows past it is rejected
+        with ServerBusy instead of growing the backlog without bound."""
         self._fn = fn
         self._n_inputs = n_inputs
         self._max_delay = max_delay_ms / 1000.0
         self._max_rows = max_rows
+        self._max_pending = max_pending_rows
+        self._pending_rows = 0
         self._queue: List[_Pending] = []
         self._lock = threading.Lock()
         self._wakeup = threading.Condition(self._lock)
         self._stopped = False
         self.batches_dispatched = 0
         self.rows_served = 0
+        self.rows_rejected = 0
+        self.dispatch_seconds = 0.0
         self._thread = threading.Thread(
             target=self._run, name="batcher", daemon=True
         )
@@ -98,6 +114,13 @@ class DynamicBatcher:
         with self._lock:
             if self._stopped:
                 raise RuntimeError("batcher is stopped")
+            if self._pending_rows + n > self._max_pending:
+                self.rows_rejected += n
+                raise ServerBusy(
+                    f"{self._pending_rows} rows already queued "
+                    f"(limit {self._max_pending}); retry later"
+                )
+            self._pending_rows += n
             self._queue.append(req)
             self._wakeup.notify()
         req.event.wait()
@@ -128,6 +151,7 @@ class DynamicBatcher:
                     break
                 self._wakeup.wait(timeout=left)
             taken, self._queue = self._queue, []
+            self._pending_rows = 0
             return taken
 
     def _run(self) -> None:
@@ -136,6 +160,7 @@ class DynamicBatcher:
             if not batch:
                 return
             try:
+                t0 = time.monotonic()
                 joined = tuple(
                     np.concatenate([r.arrays[i] for r in batch], axis=0)
                     for i in range(self._n_inputs)
@@ -151,6 +176,7 @@ class DynamicBatcher:
                     offset += r.n_rows
                 self.batches_dispatched += 1
                 self.rows_served += offset
+                self.dispatch_seconds += time.monotonic() - t0
             except BaseException as e:  # propagate to every waiter
                 for r in batch:
                     r.error = e
@@ -212,6 +238,12 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 (http.server API)
         if self.path == "/healthz":
             self._send_json(200, self.service.health())
+        elif self.path == "/metrics":
+            self._send(
+                200,
+                self.service.metrics_text().encode(),
+                "text/plain; version=0.0.4",
+            )
         else:
             self._fail(404, f"no route {self.path}")
 
@@ -219,6 +251,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             body = self._body()
         except ValueError as e:
+            # The oversized body was never read off the socket; a keep-alive
+            # client's next request would be parsed out of its bytes.
+            self.close_connection = True
             self._fail(413, str(e))
             return
         try:
@@ -230,6 +265,16 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send_json(200, self.service.reload_now())
             else:
                 self._fail(404, f"no route {self.path}")
+        except ModelNotLoaded as e:
+            self._fail(404, str(e))
+        except ServerBusy as e:
+            payload = json.dumps({"error": str(e)}).encode()
+            self.send_response(503)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.send_header("Retry-After", "1")
+            self.end_headers()
+            self.wfile.write(payload)
         except (ValueError, KeyError, json.JSONDecodeError) as e:
             self._fail(400, f"bad request: {e}")
         except Exception as e:  # backend failure
@@ -270,6 +315,13 @@ class _Handler(BaseHTTPRequestHandler):
             raise ValueError(
                 f"frames must be (N, 256, 256, 3), got {frames.shape}"
             )
+        # Validate the optional arrays fully BEFORE submit(): a malformed
+        # request inside the batcher would fail the whole coalesced batch,
+        # 400-ing innocent concurrent clients.
+        if centers.shape != (n, 2):
+            raise ValueError(f"centers must be ({n}, 2), got {centers.shape}")
+        if scales.shape != (n,):
+            raise ValueError(f"scales must be ({n},), got {scales.shape}")
         if frames.dtype == np.uint8:
             frames = frames.astype(np.float32) / 255.0
         pose2d, pose3d = self.service.pose_batcher.submit(
@@ -300,6 +352,7 @@ class PoseHTTPServer:
         port: int = 0,
         max_delay_ms: float = 2.0,
         max_rows: int = 256,
+        max_pending_rows: int = 8192,
         reload_every: float = 0.0,
         max_body_bytes: int = 256 * 1024 * 1024,
         logger=None,
@@ -317,20 +370,22 @@ class PoseHTTPServer:
 
         def lift_fn(kp):
             if self.lifting is None:
-                raise ValueError("no lifting model is loaded")
+                raise ModelNotLoaded("no lifting model is loaded")
             return (np.asarray(self.lifting.lift(kp), np.float32),)
 
         def pose_fn(frames, centers, scales):
             if self.end2end is None:
-                raise ValueError("no end2end model is loaded")
+                raise ModelNotLoaded("no end2end model is loaded")
             p2, p3 = self.end2end.predict(frames, centers, scales)
             return np.asarray(p2, np.float32), np.asarray(p3, np.float32)
 
         self.lift_batcher = DynamicBatcher(
-            lift_fn, n_inputs=1, max_delay_ms=max_delay_ms, max_rows=max_rows
+            lift_fn, n_inputs=1, max_delay_ms=max_delay_ms,
+            max_rows=max_rows, max_pending_rows=max_pending_rows,
         )
         self.pose_batcher = DynamicBatcher(
-            pose_fn, n_inputs=3, max_delay_ms=max_delay_ms, max_rows=max_rows
+            pose_fn, n_inputs=3, max_delay_ms=max_delay_ms,
+            max_rows=max_rows, max_pending_rows=max_pending_rows,
         )
 
         handler = type("BoundHandler", (_Handler,), {"service": self})
@@ -367,13 +422,32 @@ class PoseHTTPServer:
             self._poll_thread.join(timeout=5)
 
     def serve_forever(self) -> None:
-        """Blocking variant for the CLI."""
+        """Blocking variant for the CLI: runs until SIGTERM/SIGINT, then
+        drains (in-flight batches finish; new submits are refused)."""
+        import signal
+
+        done = threading.Event()
+
+        def handler(signum, frame):
+            if self.logger is not None:
+                self.logger.info(
+                    "received %s, shutting down", signal.Signals(signum).name
+                )
+            done.set()
+
+        prev = {
+            s: signal.signal(s, handler)
+            for s in (signal.SIGTERM, signal.SIGINT)
+        }
         self.start()
         try:
-            while True:
-                time.sleep(3600)
+            done.wait()
         except KeyboardInterrupt:
+            pass
+        finally:
             self.stop()
+            for s, h in prev.items():
+                signal.signal(s, h)
 
     # ------------------------------------------------------------- status
     def health(self) -> dict:
@@ -385,6 +459,7 @@ class PoseHTTPServer:
         }
         if self.lifting is not None:
             out["lift"] = {
+                "epoch": self.lifting.epoch,
                 "batches": self.lift_batcher.batches_dispatched,
                 "rows": self.lift_batcher.rows_served,
             }
@@ -396,18 +471,56 @@ class PoseHTTPServer:
             }
         return out
 
+    def metrics_text(self) -> str:
+        """Prometheus text exposition (0.0.4) of the daemon's counters."""
+        lines = [
+            "# HELP bilinear_uptime_seconds Daemon uptime.",
+            "# TYPE bilinear_uptime_seconds gauge",
+            f"bilinear_uptime_seconds {time.time() - self.started:.3f}",
+            "# HELP bilinear_rows_served_total Rows returned per route.",
+            "# TYPE bilinear_rows_served_total counter",
+            "# HELP bilinear_batches_total Device dispatches per route.",
+            "# TYPE bilinear_batches_total counter",
+            "# HELP bilinear_rows_rejected_total Rows refused with 503.",
+            "# TYPE bilinear_rows_rejected_total counter",
+            "# HELP bilinear_dispatch_seconds_total Backend time per route.",
+            "# TYPE bilinear_dispatch_seconds_total counter",
+            "# HELP bilinear_model_epoch Checkpoint epoch being served.",
+            "# TYPE bilinear_model_epoch gauge",
+        ]
+        routes = []
+        if self.lifting is not None:
+            routes.append(("lift", self.lift_batcher, self.lifting.epoch))
+        if self.end2end is not None:
+            routes.append(("pose", self.pose_batcher, self.end2end.epoch))
+        for name, b, epoch in routes:
+            tag = f'{{route="{name}"}}'
+            lines += [
+                f"bilinear_rows_served_total{tag} {b.rows_served}",
+                f"bilinear_batches_total{tag} {b.batches_dispatched}",
+                f"bilinear_rows_rejected_total{tag} {b.rows_rejected}",
+                f"bilinear_dispatch_seconds_total{tag} "
+                f"{b.dispatch_seconds:.6f}",
+                f"bilinear_model_epoch{tag} {epoch}",
+            ]
+        return "\n".join(lines) + "\n"
+
     # ---------------------------------------------------------- hot reload
     def reload_now(self) -> dict:
         """Check the run dir(s) for newer checkpoints; swap if found.
-        End2EndServer.reload() handles the dir scan; the swap is a Python
-        reference assignment, so in-flight batches finish on old weights."""
+        Each server's reload() handles its own dir scan; the swap is a
+        Python reference assignment, so in-flight batches finish on old
+        weights (predict snapshots its variables at entry)."""
         with self._reload_lock:
             reloaded = False
             if self.end2end is not None:
                 reloaded = bool(self.end2end.reload()) or reloaded
+            if self.lifting is not None:
+                reloaded = bool(self.lifting.reload()) or reloaded
             return {
                 "reloaded": reloaded,
                 "epoch": self.end2end.epoch if self.end2end else None,
+                "lift_epoch": self.lifting.epoch if self.lifting else None,
             }
 
     def _poll_reload(self) -> None:

@@ -6,7 +6,9 @@ here is CPU-only and fast.
 """
 import io
 import json
+import os
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -226,16 +228,90 @@ def test_http_reload_route(daemon):
     _, before = server.end2end.predict(frames)
 
     out, _ = _post(server, "/admin/reload", b"", "application/json")
-    assert json.loads(out) == {"reloaded": False, "epoch": 1}
+    assert json.loads(out) == {"reloaded": False, "epoch": 1, "lift_epoch": 1}
 
     bumped = e2e_state.replace(
         params=jax.tree.map(lambda v: v + 0.05, e2e_state.params)
     )
     save_checkpoint(e2e_dir + "/parameter", 2, bumped)
     out, _ = _post(server, "/admin/reload", b"", "application/json")
-    assert json.loads(out) == {"reloaded": True, "epoch": 2}
+    assert json.loads(out) == {"reloaded": True, "epoch": 2, "lift_epoch": 1}
     _, after = server.end2end.predict(frames)
     assert not np.allclose(after, before)
+
+
+def test_lifting_hot_reload(daemon):
+    """LiftingServer.reload() re-folds the kernel weights: a new epoch in
+    the lifting run dir changes /v1/lift outputs after /admin/reload."""
+    server, tr, _, _, lifting = daemon
+    kp = tr.raw_part[:2].reshape(2, 16, 2).astype(np.float32)
+    before = np.asarray(lifting.lift(kp))
+
+    from bilinear_tpu.train.bilinear import BilinearTrainer
+
+    run_dir = os.path.dirname(lifting.parameter_dir)
+    newer = BilinearTrainer(batch_size=16).init_state(jax.random.PRNGKey(7))
+    save_checkpoint(lifting.parameter_dir, lifting.epoch + 1, newer)
+
+    out, _ = _post(server, "/admin/reload", b"", "application/json")
+    r = json.loads(out)
+    assert r["reloaded"] is True and r["lift_epoch"] == lifting.epoch
+    after = np.asarray(lifting.lift(kp))
+    assert not np.allclose(after, before)
+    assert run_dir  # silence unused (kept for debuggability)
+
+
+def test_missing_model_route_is_404(tmp_path):
+    """A daemon with only a lifting model 404s /v1/pose (not 400)."""
+    d = str(tmp_path / "h36m")
+    write_h36m_dataset(d, n_train=32, n_valid=8)
+    tr = load_h36m(d, Protocol.GT)[Task.Train]
+
+    from bilinear_tpu.train.bilinear import BilinearTrainer
+
+    run = str(tmp_path / "run")
+    state = BilinearTrainer(batch_size=16).init_state(jax.random.PRNGKey(0))
+    save_checkpoint(run + "/parameter", 1, state)
+    lifting, _ = LiftingServer.from_run_dir(
+        run, tr, dtype=jnp.float32, interpret=True
+    )
+    server = PoseHTTPServer(lifting=lifting, port=0, max_delay_ms=1.0)
+    server.start()
+    try:
+        buf = io.BytesIO()
+        np.savez(buf, frames=np.zeros((1, 256, 256, 3), np.float32))
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, "/v1/pose", buf.getvalue(), "application/x-npz")
+        assert e.value.code == 404
+    finally:
+        server.stop()
+
+
+def test_pose_rejects_malformed_centers_scales(daemon):
+    """Shape validation happens before the batcher so a bad request cannot
+    fail innocent coalesced neighbors."""
+    server = daemon[0]
+    frames = np.zeros((2, 256, 256, 3), np.float32)
+    for bad in (
+        {"frames": frames, "centers": np.zeros((2, 3), np.float32)},
+        {"frames": frames, "scales": np.zeros((2, 1), np.float32)},
+    ):
+        buf = io.BytesIO()
+        np.savez(buf, **bad)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, "/v1/pose", buf.getvalue(), "application/x-npz")
+        assert e.value.code == 400
+
+
+def test_from_run_dir_refuses_empty_dir(daemon, tmp_path):
+    """Serving must never silently serve random init (epoch 0)."""
+    _, tr, _, _, _ = daemon
+    with pytest.raises(FileNotFoundError, match="refusing to serve"):
+        LiftingServer.from_run_dir(str(tmp_path / "nope"), tr)
+    with pytest.raises(FileNotFoundError, match="refusing to serve"):
+        End2EndServer.from_run_dir(
+            str(tmp_path / "nope2"), tr, model_kw=E2E_KW
+        )
 
 
 def test_bad_requests_are_400(daemon):
@@ -253,6 +329,76 @@ def test_bad_requests_are_400(daemon):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/nope", b"", "application/json")
     assert e.value.code == 404
+
+
+def test_batcher_backpressure_rejects_over_budget():
+    """Admission control: submits beyond max_pending_rows raise ServerBusy
+    instead of growing the backlog without bound."""
+    from bilinear_tpu.serving_http import ServerBusy
+
+    release = threading.Event()
+    entered = threading.Event()
+
+    def fn(x):
+        entered.set()
+        release.wait(timeout=30)
+        return (x,)
+
+    b = DynamicBatcher(fn, n_inputs=1, max_delay_ms=1.0, max_pending_rows=4)
+    # Occupy the dispatcher inside fn, then fill the queue to the budget.
+    first = threading.Thread(
+        target=lambda: b.submit(np.zeros((1, 2), np.float32))
+    )
+    first.start()
+    assert entered.wait(timeout=30)  # dispatcher is now blocked inside fn
+    queued = threading.Thread(
+        target=lambda: b.submit(np.zeros((3, 2), np.float32))
+    )
+    queued.start()
+    deadline = time.monotonic() + 10
+    while b._pending_rows < 3 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert b._pending_rows == 3
+    with pytest.raises(ServerBusy, match="retry later"):
+        b.submit(np.zeros((2, 2), np.float32))  # 3 queued + 2 > 4
+    assert b.rows_rejected == 2
+    release.set()
+    first.join(timeout=30)
+    queued.join(timeout=30)
+    b.stop()
+
+
+def test_metrics_endpoint(daemon):
+    server = daemon[0]
+    with urllib.request.urlopen(_url(server, "/metrics"), timeout=30) as r:
+        assert r.headers.get("Content-Type", "").startswith("text/plain")
+        text = r.read().decode()
+    for needle in (
+        "bilinear_uptime_seconds ",
+        'bilinear_rows_served_total{route="lift"}',
+        'bilinear_batches_total{route="pose"}',
+        'bilinear_model_epoch{route="pose"}',
+        'bilinear_dispatch_seconds_total{route="lift"}',
+    ):
+        assert needle in text, f"missing {needle!r} in /metrics"
+
+
+def test_http_503_when_saturated(daemon):
+    """A server with a 1-row budget 503s a 2-row request (Retry-After set)."""
+    _, _, _, _, lifting = daemon
+    small = PoseHTTPServer(
+        lifting=lifting, port=0, max_delay_ms=1.0, max_pending_rows=1
+    )
+    small.start()
+    try:
+        kp = np.zeros((2, 16, 2), np.float32)
+        body = json.dumps({"keypoints": kp.tolist()}).encode()
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(small, "/v1/lift", body, "application/json")
+        assert e.value.code == 503
+        assert e.value.headers.get("Retry-After") == "1"
+    finally:
+        small.stop()
 
 
 def test_pose_client_round_trips(daemon):
@@ -281,7 +427,7 @@ def test_pose_client_round_trips(daemon):
     np.testing.assert_allclose(p3, w3, rtol=1e-4, atol=1e-2)
 
     r = client.reload()
-    assert set(r) == {"reloaded", "epoch"}
+    assert set(r) == {"reloaded", "epoch", "lift_epoch"}
 
     with pytest.raises(ValueError, match=r"\(N, 16, 2\)"):
         client.lift(np.zeros((3, 2), np.float32))  # client-side shape gate
