@@ -453,20 +453,24 @@ def test_serve_cli_build(daemon, tmp_path):
     (end-to-end through /healthz and /v1/pose), without the serve loop."""
     import bilinear_tpu.cli.serve as serve_mod
 
-    _, _, e2e_dir, _, _ = daemon
+    _, _, e2e_dir, _, lifting = daemon
+    lift_run_dir = os.path.dirname(lifting.parameter_dir)
     data_dir = str(tmp_path / "h36m")
     write_h36m_dataset(data_dir, n_train=32, n_valid=8)
     ns = serve_mod.build_parser().parse_args([
-        "--kind", "end2end", "--run-dir", e2e_dir, "--data-dir", data_dir,
+        "--kind", "both", "--run-dir", e2e_dir,
+        "--lifting-run-dir", lift_run_dir, "--data-dir", data_dir,
         "--dtype", "float32", "--n-stacks", "1", "--features", "8",
         "--depth", "1", "--batch-sizes", "1", "4", "--port", "0",
-        "--reload-every", "0",
+        "--reload-every", "0", "--interpret",
     ])
     srv = serve_mod.build_server(ns)
     srv.start()
     try:
         with urllib.request.urlopen(_url(srv, "/healthz"), timeout=30) as r:
-            assert json.loads(r.read())["status"] == "ok"
+            h = json.loads(r.read())
+        assert h["status"] == "ok"
+        assert h["lift"] is not None and h["pose"] is not None
         frames = (np.random.RandomState(3).rand(2, 256, 256, 3) * 255).astype(
             np.uint8
         )
@@ -477,5 +481,10 @@ def test_serve_cli_build(daemon, tmp_path):
             assert z["pose2d"].shape == (2, 16, 2)
             assert z["pose3d_mm"].shape == (2, 16, 3)
             assert np.isfinite(z["pose3d_mm"]).all()
+        kp = np.random.RandomState(4).rand(3, 16, 2).astype(np.float32) * 200
+        body = json.dumps({"keypoints": kp.tolist()}).encode()
+        out, _ = _post(srv, "/v1/lift", body, "application/json")
+        mm = np.asarray(json.loads(out)["poses_mm"], np.float32)
+        assert mm.shape == (3, 16, 3) and np.isfinite(mm).all()
     finally:
         srv.stop()
