@@ -1,0 +1,144 @@
+"""On-chip HTTP serving benchmark: the full network path (PoseClient ->
+PoseHTTPServer -> DynamicBatcher -> compiled program -> back) for both
+routes, with concurrent clients.
+
+This measures what a colocated client actually pays, on top of the raw
+device numbers in RESULTS.md (0.615 ms batch-1 end2end dispatch, 20.9/33.8 M
+poses/s lifting). On this dev box the host side is a worst case (1 CPU core,
+~25 ms-RTT tunnel to the TPU); read the absolute numbers with that caveat —
+the interesting quantities are the daemon's own overhead (HTTP parse + npz +
+batcher queueing) and how coalescing holds throughput as client count grows.
+
+Usage:
+    python benchmarks/serving_http_bench.py [--quantize int8] [--clients 8]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quantize", default="", choices=["", "int8"])
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--lift-rows", type=int, default=4096,
+                    help="rows per lifting request")
+    ap.add_argument("--tiny", action="store_true",
+                    help="1-stack/8-feature detector + interpret kernels "
+                         "(CPU smoke test of the harness itself)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bilinear_tpu.client import PoseClient
+    from bilinear_tpu.data.h36m import Protocol, Task, load_h36m
+    from bilinear_tpu.data.synthetic import write_h36m_dataset
+    from bilinear_tpu.io.checkpoint import save_checkpoint
+    from bilinear_tpu.serving import End2EndServer, LiftingServer
+    from bilinear_tpu.serving_http import PoseHTTPServer
+    from bilinear_tpu.train.bilinear import BilinearTrainer
+    from bilinear_tpu.train.end2end import End2EndTrainer
+
+    tmp = tempfile.mkdtemp(prefix="servbench")
+    data_dir = os.path.join(tmp, "h36m")
+    write_h36m_dataset(data_dir, n_train=64, n_valid=16)
+    tr = load_h36m(data_dir, Protocol.GT)[Task.Train]
+
+    model_kw = dict(n_stacks=1, features=8, depth=1) if args.tiny else None
+    lift_dir = os.path.join(tmp, "lift")
+    save_checkpoint(
+        lift_dir + "/parameter", 1,
+        BilinearTrainer().init_state(jax.random.PRNGKey(0)),
+    )
+    e2e_dir = os.path.join(tmp, "e2e")
+    e2e_trainer = End2EndTrainer(model_kw=model_kw)
+    save_checkpoint(
+        e2e_dir + "/parameter", 1,
+        e2e_trainer.init_state(
+            jax.random.PRNGKey(0),
+            jnp.asarray(tr.mean_part), jnp.asarray(tr.std_part),
+        ),
+    )
+
+    quant = args.quantize or None
+    lifting, _ = LiftingServer.from_run_dir(
+        lift_dir, tr, quantize=quant, interpret=args.tiny
+    )
+    end2end = End2EndServer.from_run_dir(
+        e2e_dir, tr, batch_sizes=(1, 8, 64), quantize=quant,
+        model_kw=model_kw,
+        **(dict(dtype=jnp.float32) if args.tiny else {}),
+    )
+    server = PoseHTTPServer(
+        lifting=lifting, end2end=end2end, port=0, max_delay_ms=2.0,
+        max_rows=4096 * 8,
+    )
+    server.start()
+    client = PoseClient(f"http://{server.host}:{server.port}", timeout=600)
+
+    # Warm every compiled size through the daemon itself.
+    kp = (np.random.RandomState(0).rand(args.lift_rows, 16, 2) * 200).astype(
+        np.float32
+    )
+    frames = np.random.RandomState(1).rand(8, 256, 256, 3).astype(np.float32)
+    client.lift(kp)
+    client.pose(frames)
+    client.pose(frames[:1])
+
+    results = {}
+    for route, payload, rows in (
+        ("lift", lambda c: c.lift(kp), args.lift_rows),
+        ("pose_b8", lambda c: c.pose(frames), 8),
+        ("pose_b1", lambda c: c.pose(frames[:1]), 1),
+    ):
+        lat: list = []
+        stop = time.monotonic() + args.seconds
+        lock = threading.Lock()
+
+        def worker():
+            while time.monotonic() < stop:
+                t0 = time.monotonic()
+                payload(client)
+                dt = time.monotonic() - t0
+                with lock:
+                    lat.append(dt)
+
+        threads = [
+            threading.Thread(target=worker) for _ in range(args.clients)
+        ]
+        t_start = time.monotonic()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.monotonic() - t_start
+        lat.sort()
+        n = len(lat)
+        results[route] = {
+            "requests": n,
+            "rows_per_sec": round(n * rows / wall, 1),
+            "p50_ms": round(lat[n // 2] * 1e3, 2),
+            "p95_ms": round(lat[int(n * 0.95)] * 1e3, 2),
+            "clients": args.clients,
+        }
+        print(json.dumps({route: results[route]}), flush=True)
+
+    h = server.health()
+    print(json.dumps({"health": h}), flush=True)
+    server.stop()
+
+
+if __name__ == "__main__":
+    main()
