@@ -392,6 +392,10 @@ class End2EndServer:
         # Snapshot once: a concurrent hot-reload between chunk dispatches
         # must not mix weight epochs within one response.
         variables = self._variables
+        # Dispatch every chunk before fetching any: jax dispatch is async,
+        # so the device pipelines the chunks back-to-back and the host
+        # round-trips overlap with compute instead of serializing after it.
+        dispatched = []
         done = 0
         for take, batch in self._chunks(n):
             idx = slice(done, done + take)
@@ -403,10 +407,11 @@ class End2EndServer:
                 f = np.concatenate([f, np.zeros((pad,) + f.shape[1:], f.dtype)])
                 c = np.concatenate([c, np.full((pad, 2), 128.0, np.float32)])
                 s = np.concatenate([s, np.ones((pad,), np.float32)])
-            p2, p3 = self._jitted(variables, f, c, s)
+            dispatched.append((idx, take, self._jitted(variables, f, c, s)))
+            done += take
+        for idx, take, (p2, p3) in dispatched:
             pose2d[idx] = np.asarray(p2, np.float32)[:take]
             pose3d_n[idx] = np.asarray(p3, np.float32)[:take]
-            done += take
 
         mm = pose3d_n * np.asarray(self._std_s) + np.asarray(self._mean_s)
         return pose2d, mm.reshape(n, 16, 3)
