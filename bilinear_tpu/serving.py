@@ -79,7 +79,10 @@ class LiftingServer:
 
         self._mesh = mesh
         if mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            try:  # jax >= 0.8
+                from jax import shard_map
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
 
             from bilinear_tpu.parallel.mesh import DATA_AXIS
