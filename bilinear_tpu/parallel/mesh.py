@@ -23,6 +23,23 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def shard_map_compat(f, *, mesh, in_specs, out_specs, check_rep=True):
+    """shard_map across jax versions: jax>=0.8 moved it to jax.shard_map
+    and renamed check_rep -> check_vma (needed off for Pallas calls, whose
+    replication jax cannot infer)."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+    from jax.experimental.shard_map import shard_map  # pragma: no cover
+
+    return shard_map(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=check_rep,
+    )
+
+
 def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

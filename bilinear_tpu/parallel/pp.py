@@ -38,10 +38,7 @@ import numpy as np
 from flax import linen as nn
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.8
-    from jax import shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+from bilinear_tpu.parallel.mesh import shard_map_compat as shard_map
 
 from bilinear_tpu.core.norm import TorchBatchNorm
 from bilinear_tpu.models.hourglass_torch7 import (

@@ -79,10 +79,7 @@ class LiftingServer:
 
         self._mesh = mesh
         if mesh is not None:
-            try:  # jax >= 0.8
-                from jax import shard_map
-            except ImportError:  # pragma: no cover - older jax
-                from jax.experimental.shard_map import shard_map
+            from bilinear_tpu.parallel.mesh import shard_map_compat
             from jax.sharding import PartitionSpec as P
 
             from bilinear_tpu.parallel.mesh import DATA_AXIS
@@ -106,7 +103,7 @@ class LiftingServer:
 
             batch_spec = P(DATA_AXIS)
             self._sharded_fwd = jax.jit(
-                shard_map(
+                shard_map_compat(
                     kernel, mesh=mesh,
                     in_specs=(P(), batch_spec), out_specs=batch_spec,
                     check_rep=False,
