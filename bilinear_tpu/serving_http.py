@@ -196,6 +196,25 @@ def _npy_bytes(arr: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+def _load_npy(body: bytes) -> np.ndarray:
+    """np.load with every decode failure (EOFError on empty bodies,
+    magic-string ValueErrors, OSError on truncation) mapped to ValueError
+    so the handler answers 400, not 500."""
+    try:
+        return np.load(io.BytesIO(body), allow_pickle=False)
+    except Exception as e:
+        raise ValueError(f"undecodable npy body: {e}") from None
+
+
+def _load_npz(body: bytes):
+    try:
+        z = np.load(io.BytesIO(body), allow_pickle=False)
+        z.files  # forces the zip directory read
+        return z
+    except Exception as e:
+        raise ValueError(f"undecodable npz body: {e}") from None
+
+
 def _npz_bytes(**arrays) -> bytes:
     buf = io.BytesIO()
     np.savez(buf, **arrays)
@@ -284,7 +303,7 @@ class _Handler(BaseHTTPRequestHandler):
         ctype = self.headers.get("Content-Type", "application/json")
         as_npy = ctype.startswith("application/x-npy")
         if as_npy:
-            kp = np.load(io.BytesIO(body), allow_pickle=False)
+            kp = _load_npy(body)
         else:
             kp = np.asarray(
                 json.loads(body.decode())["keypoints"], np.float32
@@ -298,7 +317,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(200, {"poses_mm": mm.tolist()})
 
     def _pose(self, body: bytes) -> None:
-        with np.load(io.BytesIO(body), allow_pickle=False) as z:
+        with _load_npz(body) as z:
             frames = z["frames"]
             n = frames.shape[0]
             centers = (

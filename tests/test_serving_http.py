@@ -401,6 +401,42 @@ def test_http_503_when_saturated(daemon):
         small.stop()
 
 
+def test_garbage_bodies_never_5xx_and_daemon_survives(daemon):
+    """Robustness: random garbage at every POST route must map to a 4xx
+    (bad request / wrong payload), never a 5xx, and the daemon must keep
+    serving afterwards."""
+    server = daemon[0]
+    rng = np.random.RandomState(11)
+    bodies = [
+        b"",
+        b"\x00" * 64,
+        rng.bytes(257),
+        b'{"keypoints": "nope"}',
+        b'{"unrelated": 1}',
+        b"\x93NUMPY garbage that is not a real npy header",
+        json.dumps({"keypoints": [[[1e308] * 2] * 16] * 2}).encode(),
+    ]
+    ctypes_ = ["application/json", "application/x-npy", "application/x-npz"]
+    for path in ("/v1/lift", "/v1/pose"):
+        for body in bodies:
+            for ctype in ctypes_:
+                try:
+                    _post(server, path, body, ctype)
+                except urllib.error.HTTPError as e:
+                    assert 400 <= e.code < 500, (
+                        f"{path} {ctype} {body[:20]!r} gave {e.code}"
+                    )
+    # Daemon still healthy and still serves real work.
+    with urllib.request.urlopen(_url(server, "/healthz"), timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    kp = np.zeros((1, 16, 2), np.float32)
+    out, _ = _post(
+        server, "/v1/lift",
+        json.dumps({"keypoints": kp.tolist()}).encode(), "application/json",
+    )
+    assert np.asarray(json.loads(out)["poses_mm"]).shape == (1, 16, 3)
+
+
 def test_pose_client_round_trips(daemon):
     """client.py::PoseClient end-to-end against the live daemon: lift and
     pose match the direct server objects; health/reload work; server-side
