@@ -131,21 +131,6 @@ class MPIIAnnotations:
     def image_path(self, record: MPIIRecord) -> str:
         return os.path.join(self.image_dir, record.image_name)
 
-    # -------------------------------------------------- official test set
-    def test_rects(self) -> List[Tuple[int, int]]:
-        """(img_idx, r_idx) pairs of the official test images' single_person
-        rects (eval_hourglass.py:62-126; indices stored 1-based there, 0-based
-        here)."""
-        out = []
-        singles = _as_list(self.single_person)
-        for img_idx in np.nonzero(self.img_train == 0)[0]:
-            ridxs = singles[img_idx]
-            ridxs = np.atleast_1d(np.asarray(ridxs)).astype(np.int64)
-            for r in ridxs.reshape(-1):
-                if r >= 1:
-                    out.append((int(img_idx), int(r) - 1))
-        return out
-
 
 class MPIITestAnnotations:
     """Official MPII test-set rects for prediction export, with the

@@ -305,21 +305,40 @@ class MPIIHostPipeline:
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         sentinel = object()
+        stop = threading.Event()
 
         def worker():
             try:
                 for b in batches:
-                    q.put(self._load(b))
+                    item = self._load(b)
+                    # Bounded put + stop flag: if the consumer abandons the
+                    # generator (recalibrate's max_batches break, exceptions
+                    # in the train loop), the thread must exit instead of
+                    # blocking on the full queue forever holding ~25 MB
+                    # decoded batches.
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
                 q.put(sentinel)
             except BaseException as e:  # surface loader errors to the consumer
                 q.put(e)
 
-        t = threading.Thread(target=worker, daemon=True)
+        t = threading.Thread(
+            target=worker, daemon=True, name="pipeline-prefetch"
+        )
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()  # runs on GeneratorExit too (early-abandoned epoch)

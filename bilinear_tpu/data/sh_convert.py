@@ -21,7 +21,10 @@ import numpy as np
 from bilinear_tpu.data.h36m import Annotation, load_h36m, tasks
 from bilinear_tpu.data.h36m_images import H36MImageRecords
 from bilinear_tpu.data.pipeline import MPIIHostPipeline
-from bilinear_tpu.eval.mpii_test_export import make_export_step
+from bilinear_tpu.eval.mpii_test_export import (
+    _to_original_space,
+    make_export_step,
+)
 from bilinear_tpu.ops.joints import FROM_MPII_TO_H36M
 
 
@@ -44,12 +47,15 @@ def convert_gt_to_sh(
 
         detections = np.zeros((len(split), 16, 2), np.float32)
         for batch in pipeline.epoch(0):
-            poses = np.asarray(
+            pose_hm = np.asarray(
                 step(
                     variables, batch.images, batch.centers, batch.scales,
                     batch.keypoints, batch.valid,
                 )
             )
+            # Original-image pixels (the GT 'part' convention the lifting
+            # loader z-scores; canvas-space would drop absolute position).
+            poses = _to_original_space(pose_hm, records, batch.index)
             for slot in range(poses.shape[0]):
                 if batch.index[slot] >= 0:
                     detections[int(batch.index[slot])] = poses[slot]

@@ -22,6 +22,18 @@ from bilinear_tpu.train.hourglass import preprocess_batch
 
 
 def make_export_step(model):
+    """Crop -> forward -> argmax, returning HEATMAP-space poses (B, 16, 2).
+
+    The mapping to pixel coordinates deliberately happens on the host with
+    each record's ORIGINAL-image center/scale: the pipeline's batch
+    centers/scales are canvas-space (record_to_canvas subtracts the crop
+    offset and divides by the downscale factor), so decoding with them
+    yields canvas coordinates — the official MPII toolkit and the SH bins
+    need original-frame pixels (eval_hourglass.py:148-156). The crop seen
+    by the network is geometrically identical either way, so
+    heatmap_to_image_space(pose_hm, original_center, original_scale) is
+    exact."""
+
     @jax.jit
     def step(variables, images, centers, scales, keypoints, valid):
         crops, _, _ = preprocess_batch(
@@ -30,10 +42,26 @@ def make_export_step(model):
         )
         out = model.apply(variables, crops, train=False)[-1]  # (B, H, W, J)
         hm = jnp.transpose(out, (0, 3, 1, 2))
-        pose = argmax_decode(hm)
-        return heatmap_to_image_space(pose, centers, scales)
+        return argmax_decode(hm)
 
     return step
+
+
+def _to_original_space(
+    pose_hm: np.ndarray, annotations, index: np.ndarray
+) -> np.ndarray:
+    """Map heatmap-space poses to original-image pixels using each slot's
+    ORIGINAL record center/scale (padded slots pass through unchanged)."""
+    centers = np.zeros((pose_hm.shape[0], 2), np.float32)
+    scales = np.ones((pose_hm.shape[0],), np.float32)
+    for slot in range(pose_hm.shape[0]):
+        if index[slot] >= 0:
+            rec = annotations.record(int(index[slot]))
+            centers[slot] = rec.center
+            scales[slot] = rec.scale
+    return np.asarray(
+        heatmap_to_image_space(jnp.asarray(pose_hm), centers, scales)
+    )
 
 
 def export_predictions(
@@ -50,12 +78,13 @@ def export_predictions(
     step = make_export_step(model)
     exported = 0
     for batch in pipeline.epoch(0):
-        poses = np.asarray(
+        pose_hm = np.asarray(
             step(
                 variables, batch.images, batch.centers, batch.scales,
                 batch.keypoints, batch.valid,
             )
         )
+        poses = _to_original_space(pose_hm, annotations, batch.index)
         for slot in range(batch.images.shape[0]):
             if batch.index[slot] < 0:
                 continue
@@ -99,8 +128,13 @@ def convert_predictions(
         rects = _as_list(annolist[img_idx].annorect)
         sp = np.atleast_1d(np.asarray(singles[img_idx])).reshape(-1)
         for r_idx, rect in enumerate(rects):
+            # Real-release rects outside single_person often carry EMPTY
+            # scale fields (squeeze_me yields 0-size arrays, whose truth
+            # value is deprecated) — treat anything non-scalar as absent.
+            s = getattr(rect, "scale", None)
             entry = {
-                "scale": float(getattr(rect, "scale", 0.0) or 0.0),
+                "scale": float(s) if np.ndim(s) == 0 and s is not None
+                else 0.0,
             }
             objpos = getattr(rect, "objpos", None)
             if objpos is not None:

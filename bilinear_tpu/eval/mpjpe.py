@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bilinear_tpu.data.h36m import H36MSplit, NUM_JOINTS
+from bilinear_tpu.utils.memo import memoize_factory
 
 
 def _pad(a: np.ndarray, n_pad: int) -> np.ndarray:
@@ -29,9 +30,11 @@ def _pad(a: np.ndarray, n_pad: int) -> np.ndarray:
     return np.pad(a, pad_width)
 
 
+@memoize_factory
 def make_mpjpe_fn(model, num_actions: int, chunk: int = 8192):
     """Build a jitted evaluator: (variables, x, y, mean_s, std_s, actions,
-    mask) -> (per_action_dist_sum_mm, per_action_count)."""
+    mask) -> (per_action_dist_sum_mm, per_action_count). Memoized so
+    repeated evaluations reuse one compiled program."""
 
     @jax.jit
     def evaluate(variables, x, y, mean_s, std_s, actions, mask):

@@ -23,8 +23,10 @@ from bilinear_tpu.ops.affine import hflip
 from bilinear_tpu.ops.decode import argmax_decode, flip_average, heatmap_to_image_space
 from bilinear_tpu.ops.joints import PCKH_KEYPOINTS, PCKH_REORDER
 from bilinear_tpu.train.hourglass import preprocess_batch
+from bilinear_tpu.utils.memo import memoize_factory
 
 
+@memoize_factory
 def make_pckh_step(model, threshold: float = 0.5):
     @jax.jit
     def step(variables, images, centers, scales, keypoints, valid, heads, real):

@@ -14,8 +14,10 @@ import jax
 
 from bilinear_tpu.core.norm import reset_batch_stats
 from bilinear_tpu.train.hourglass import preprocess_batch
+from bilinear_tpu.utils.memo import memoize_factory
 
 
+@memoize_factory
 def make_recalibrate_step(model):
     """Returns a jitted (params, batch_stats, canvas_batch) ->
     new_batch_stats step (cumulative BN update, no gradients)."""

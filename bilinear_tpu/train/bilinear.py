@@ -48,7 +48,7 @@ class BilinearTrainer:
         self.tx = bilinear_optimizer(learning_rate)
         self._epoch_fn = None
         self._epoch_shape = None
-        self._tail_fns = {}
+        self._tail_fn = None
 
     # ---------------------------------------------------------------- init
     def init_state(self, rng: jax.Array) -> TrainState:
@@ -108,7 +108,8 @@ class BilinearTrainer:
 
         return epoch_fn
 
-    def _build_tail(self, tail: int):
+    def _build_tail(self):
+        # One jitted fn serves every tail size: jit specializes per shape.
         @jax.jit
         def tail_fn(state: TrainState, bx, by, rng):
             step_rng = jax.random.fold_in(rng, state.step)
@@ -130,11 +131,11 @@ class BilinearTrainer:
 
         tail = n % self.batch_size
         if tail:
-            if tail not in self._tail_fns:
-                self._tail_fns[tail] = self._build_tail(tail)
+            if self._tail_fn is None:
+                self._tail_fn = self._build_tail()
             bx = jnp.take(x, tail_idx, axis=0)
             by = jnp.take(y, tail_idx, axis=0)
-            state, tail_loss = self._tail_fns[tail](state, bx, by, rng)
+            state, tail_loss = self._tail_fn(state, bx, by, rng)
             losses = jnp.concatenate([losses, tail_loss[None]])
         return state, losses
 

@@ -71,8 +71,11 @@ class End2EndTrainer:
         if self.mesh is not None:
             images = mesh_lib.constrain_batch(images, self.mesh)
 
+        # One fold per step, three independent streams: folding rng again
+        # with step+1 for dropout would make step N's dropout key identical
+        # to step N+1's preprocess key (key reuse).
         k_pre = jax.random.fold_in(rng, state.step)
-        k_geo, k_jit = jax.random.split(k_pre)
+        k_geo, k_jit, k_drop = jax.random.split(k_pre, 3)
         B = images.shape[0]
         params_aug = aug.sample_geometry(k_geo, B, rotate_prob=0.0, flip_prob=0.0)
         scales = batch["scales"] * params_aug.scale_factor
@@ -98,7 +101,7 @@ class End2EndTrainer:
                 std_part,
                 train=True,
                 mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(rng, state.step + 1)},
+                rngs={"dropout": k_drop},
             )
             hm_loss = jnp.sum(
                 jnp.mean(jnp.square(heatmaps - targets[None]), axis=(1, 2, 3, 4))

@@ -144,6 +144,49 @@ def mpii_dir(tmp_path_factory):
     return str(root)
 
 
+class _DeltaModel:
+    """Fake detector: every joint's last-stack heatmap peaks at exactly
+    (y=20, x=45), regardless of input."""
+
+    def apply(self, variables, crops, train=False):
+        b = crops.shape[0]
+        hm = jnp.zeros((1, b, 64, 64, 16))
+        return hm.at[:, :, 20, 45, :].set(1.0)
+
+
+def test_export_coordinates_are_original_image_space(mpii_dir, tmp_path):
+    """Regression for the canvas-frame bug: the pipeline's batch
+    centers/scales are canvas-space (shifted by the crop offset ul and
+    divided by the downscale f), so decoding with them exports canvas
+    coordinates. The official toolkit needs original-frame pixels: with a
+    known heatmap peak p, every exported point must equal
+    rec.center + (p - 32)/64 * 200 * rec.scale with the ORIGINAL record
+    values (eval_hourglass.py:148-156)."""
+    annotations = MPIITestAnnotations(mpii_dir)
+    pred_dir = str(tmp_path / "pred_frame")
+    n = export_predictions(
+        _DeltaModel(), {}, annotations, pred_dir, batch_size=2, canvas=256
+    )
+    assert n == len(annotations)
+    p = np.asarray([45.0, 20.0], np.float32)  # (x, y) heatmap peak
+    for i in range(len(annotations)):
+        rec = annotations.record(i)
+        expected = rec.center + (p - 32.0) / 64.0 * (200.0 * rec.scale)
+        got = np.loadtxt(
+            os.path.join(pred_dir, f"{rec.img_idx}.{rec.r_idx}.txt")
+        )[:, 1:]
+        np.testing.assert_allclose(got, np.tile(expected, (16, 1)), atol=1e-3)
+    # Discriminating power: canvas-space decode differs from original-space
+    # by the crop offset ul = center - 100*scale*margin; require that at
+    # least one record's offset is visibly large so the buggy path could
+    # not have passed.
+    offsets = [
+        np.abs(annotations.record(i).center - 128.0).max()
+        for i in range(len(annotations))
+    ]
+    assert max(offsets) > 25.0
+
+
 def test_mpii_test_export_and_converter(mpii_dir, tmp_path):
     annotations = MPIITestAnnotations(mpii_dir)
     assert len(annotations) > 0

@@ -1,5 +1,7 @@
 """M3 integration: MPII pipeline -> hourglass training -> PCKh eval, all on
 synthetic data with small model configs (CPU-feasible)."""
+import time
+
 import numpy as np
 import pytest
 
@@ -57,6 +59,29 @@ def test_record_annotation_math(mpii_root):
     diag = np.hypot(float(rect.x2) - float(rect.x1), float(rect.y2) - float(rect.y1))
     assert rec.head == pytest.approx(0.6 * diag)
     assert np.isnan(rec.keypoints[~rec.valid]).all()
+
+
+def test_pipeline_prefetch_thread_exits_on_early_abandon(mpii_root):
+    """Abandoning a prefetched epoch() mid-iteration (recalibrate's
+    max_batches break) must release the worker thread — it previously
+    blocked forever on the bounded queue, pinning decoded batches."""
+    import threading
+
+    anns = MPIIAnnotations(mpii_root, Task.Train)
+    pipe = MPIIHostPipeline(anns, batch_size=2, canvas=256)
+    gen = pipe.epoch(0, prefetch=2)
+    next(gen)
+    gen.close()  # early abandon
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        leaked = [
+            t for t in threading.enumerate()
+            if t.name == "pipeline-prefetch" and t.is_alive()
+        ]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"prefetch worker leaked: {leaked}"
 
 
 def test_canvas_batch_contains_keypoints(mpii_root):
