@@ -87,3 +87,83 @@ def test_full_stack_learns_lifting(tmp_path):
 
     assert mpjpe < 0.1 * mpjpe_init, (mpjpe_init, mpjpe)
     assert mpjpe < 100.0  # observed ~45 mm at 10 epochs; floor ~0.2 mm
+
+
+# ---------------------------------------------------------------------------
+# Detector learnability (learnable synthetic MPII: body-structured template
+# + size/shape/hue-coded markers rendered at the keypoints)
+# ---------------------------------------------------------------------------
+
+def test_learnable_mpii_markers_at_keypoints(tmp_path):
+    """learnable=True renders a bright marker at every annotated joint and
+    keeps the default mode's schema (all 16 joints, one rect per image)."""
+    import scipy.io
+    from PIL import Image
+
+    from bilinear_tpu.data.synthetic import write_mpii_dataset
+
+    root = str(tmp_path / "MPII")
+    write_mpii_dataset(root, n_train_images=3, n_test_images=1,
+                       img_size=(200, 240), seed=7, learnable=True)
+    m = scipy.io.loadmat(
+        root + "/mpii_human_pose_v1_u12_2/mpii_human_pose_v1_u12_1.mat",
+        squeeze_me=True, struct_as_record=False,
+    )["RELEASE"]
+    for i in range(3):
+        a = m.annolist[i]
+        rect = a.annorect if not isinstance(a.annorect, np.ndarray) else a.annorect[0]
+        pts = np.atleast_1d(rect.annopoints.point)
+        assert len(pts) == 16
+        img = np.asarray(Image.open(f"{root}/images/{i:09d}.jpg"))
+        for p in pts:
+            x = int(round(float(p.x)))
+            y = int(round(float(p.y)))
+            px = img[np.clip(y, 0, img.shape[0] - 1),
+                     np.clip(x, 0, img.shape[1] - 1)]
+            assert int(px.max()) > 140, (i, int(p.id), px)
+        # Background stays dim outside markers (dominant-contrast contract).
+        assert img.mean() < 110
+
+
+@pytest.mark.slow
+def test_detector_learns_keypoints(tmp_path):
+    """Full detector stack learnability: on the learnable synthetic MPII
+    tree (markers ARE the supervision signal), MPII-protocol training —
+    crop/rotate/flip/jitter augmentation, sum-of-stacks MSE, RMSprop —
+    must lift valid-split PCKh@0.5 far above the ~3% chance floor that the
+    unlearnable (noise-image) fixtures are stuck at by construction
+    (measured here: 49% at epoch 35 with this exact seed/config; gate 25%). This is
+    the detector-side analogue of test_full_stack_learns_lifting: it would
+    catch a sign/coordinate error anywhere in the canvas->crop->heatmap->
+    decode->PCKh chain even while the MSE falls."""
+    from bilinear_tpu.data.mpii import MPIIAnnotations
+    from bilinear_tpu.data.pipeline import MPIIHostPipeline
+    from bilinear_tpu.data.synthetic import write_mpii_dataset
+    from bilinear_tpu.eval.pckh import evaluate_pckh
+    from bilinear_tpu.eval.recalibrate import recalibrate
+    from bilinear_tpu.models.hourglass_torch7 import MainModel
+    from bilinear_tpu.train.hourglass import HourglassTrainer
+
+    root = str(tmp_path / "MPII")
+    write_mpii_dataset(root, n_train_images=60, n_test_images=2,
+                       img_size=(256, 320), seed=0, learnable=True)
+    anns_tr = MPIIAnnotations(root, Task.Train, split_seed=0)
+    anns_va = MPIIAnnotations(root, Task.Valid)
+
+    trainer = HourglassTrainer(batch_size=4, canvas=256)
+    trainer.model = MainModel(n_stacks=1, features=32, depth=2)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    pipe = MPIIHostPipeline(anns_tr, batch_size=4, canvas=256, shuffle=True,
+                            drop_last=True, seed=1)
+    for epoch in range(35):
+        state, _ = trainer.fit_epoch(state, pipe, epoch, jax.random.PRNGKey(2))
+
+    stats = recalibrate(
+        trainer.model, state.params, state.batch_stats,
+        MPIIHostPipeline(anns_tr, 4, canvas=256, pad=True), max_batches=8,
+    )
+    _, avg = evaluate_pckh(
+        trainer.model, {"params": state.params, "batch_stats": stats},
+        MPIIHostPipeline(anns_va, 4, canvas=256, pad=True),
+    )
+    assert avg > 25.0, f"valid PCKh {avg:.1f}"
