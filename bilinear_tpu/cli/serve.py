@@ -17,6 +17,12 @@ Usage:
   python -m bilinear_tpu.cli.serve --kind lifting \
       --run-dir "save/Bilinear GT" --data-dir data/Human3.6M --port 8900
 
+  # deployment box: serve AOT artifact(s) (cli.export_aot) — no
+  # checkpoints, normalization data, or flax needed; hot-swap by
+  # atomically replacing the artifact file:
+  python -m bilinear_tpu.cli.serve --aot lifting.aot end2end.aot \
+      --port 8900 --reload-every 30
+
 Endpoints: GET /healthz, POST /v1/lift (JSON {"keypoints": (N,16,2)} or
 application/x-npy), POST /v1/pose (npz: frames (N,256,256,3) [+ centers,
 scales]), POST /admin/reload.
@@ -38,6 +44,8 @@ from bilinear_tpu.serving_http import PoseHTTPServer
 
 
 def build_server(args, logger=None) -> PoseHTTPServer:
+    if args.aot:
+        return _build_aot_server(args, logger)
     splits = load_h36m(args.data_dir, args.protocol)
     train = splits[Task.Train]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -79,16 +87,56 @@ def build_server(args, logger=None) -> PoseHTTPServer:
     )
 
 
+def _build_aot_server(args, logger=None) -> PoseHTTPServer:
+    """Serve AOT artifact(s) — no checkpoints, data dir, or flax needed;
+    each artifact's manifest kind assigns it to the lift or pose route."""
+    from bilinear_tpu.io.aot import AOTServer
+
+    servers = {}
+    for path in args.aot:
+        srv = AOTServer(path)
+        if srv.kind in servers:
+            raise ValueError(f"two {srv.kind!r} artifacts given: "
+                             f"{servers[srv.kind].path!r} and {path!r}")
+        servers[srv.kind] = srv
+        if logger:
+            logger.info(
+                "aot %s: %s (epoch %d, jax %s, platforms %s, programs %s)",
+                srv.kind, path, srv.epoch,
+                srv.manifest.get("jax_version"),
+                ",".join(srv.manifest.get("platforms", [])),
+                ",".join(srv.manifest.get("programs", {})),
+            )
+    return PoseHTTPServer(
+        lifting=servers.get("lifting"),
+        end2end=servers.get("end2end"),
+        host=args.host,
+        port=args.port,
+        max_delay_ms=args.max_delay_ms,
+        max_rows=args.max_rows,
+        max_pending_rows=args.max_pending_rows,
+        reload_every=args.reload_every,
+        logger=logger,
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--kind", choices=["lifting", "end2end", "both"],
                    default="end2end")
-    p.add_argument("--run-dir", required=True,
-                   help="run dir holding parameter/{epoch}.save")
+    p.add_argument("--aot", nargs="+", default=[], metavar="ARTIFACT",
+                   help="serve AOT artifact(s) (cli.export_aot output) "
+                        "instead of checkpoints — route per manifest kind; "
+                        "--run-dir/--data-dir are then not needed and "
+                        "--reload-every polls the artifact files")
+    p.add_argument("--run-dir", default="",
+                   help="run dir holding parameter/{epoch}.save "
+                        "(required unless --aot)")
     p.add_argument("--lifting-run-dir", default="",
                    help="separate run dir for the lifting model (kind=both)")
-    p.add_argument("--data-dir", required=True,
-                   help="H36M dir (normalization stats come from its train split)")
+    p.add_argument("--data-dir", default="",
+                   help="H36M dir (normalization stats come from its train "
+                        "split; required unless --aot)")
     p.add_argument("--protocol", default=Protocol.GT)
     p.add_argument("--variant", default="torch7")
     p.add_argument("--dtype", default="bfloat16",
@@ -112,7 +160,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not args.aot and not (args.run_dir and args.data_dir):
+        parser.error("--run-dir and --data-dir are required unless --aot "
+                     "artifacts are given")
     logging.basicConfig(
         level=logging.INFO, format="[%(levelname)s|serve] %(message)s"
     )

@@ -34,8 +34,8 @@ per entry, tag = ``sym`` (symbolic batch) or ``b{N}`` (fixed batch N).
 """
 from __future__ import annotations
 
-import io
 import json
+import os
 import zipfile
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -277,6 +277,53 @@ class AOTPose:
             pose2d[idx] = np.asarray(p2, np.float32)[:take]
             pose3d[idx] = np.asarray(p3, np.float32)[:take]
         return pose2d, pose3d
+
+
+class AOTServer:
+    """Adapts an artifact FILE to the daemon's server contract
+    (serving_http.PoseHTTPServer: ``.lift``/``.predict`` + ``.epoch`` +
+    ``.reload()``) — ``python -m bilinear_tpu.cli.serve --aot pose.aot``
+    serves it with no flax, no checkpoints, and no normalization data on
+    the box. ``reload()`` re-reads the file when its (mtime, size)
+    changes, so atomically replacing the artifact (write tmp +
+    ``os.replace``, as ``save_artifact`` callers should) hot-swaps the
+    weights with zero downtime: the swap is one reference assignment and
+    in-flight batches finish on the old programs."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._sig = None
+        self._pose: Optional[AOTPose] = None
+        self.reload()
+
+    @property
+    def kind(self) -> str:
+        return self._pose.kind
+
+    @property
+    def manifest(self) -> dict:
+        return self._pose.manifest
+
+    @property
+    def epoch(self) -> int:
+        return int(self._pose.manifest.get("epoch", -1))
+
+    def reload(self) -> bool:
+        # stat BEFORE reading: if the file is replaced mid-load we record
+        # the pre-replace signature and the next poll reloads again.
+        st = os.stat(self.path)
+        sig = (st.st_mtime_ns, st.st_size)
+        if sig == self._sig:
+            return False
+        pose = load_artifact(self.path)  # parse fully, then swap
+        self._pose, self._sig = pose, sig
+        return True
+
+    def lift(self, keypoints_2d) -> np.ndarray:
+        return self._pose.lift(keypoints_2d)
+
+    def predict(self, frames, centers=None, scales=None):
+        return self._pose.predict(frames, centers, scales)
 
 
 def load_artifact(path: str) -> AOTPose:

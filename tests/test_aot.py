@@ -155,6 +155,95 @@ def test_cli_export_aot(setup, tmp_path):
     )
 
 
+def _export_lifting_artifact(state, tr, path, epoch):
+    programs = export_lifting(
+        state.params, state.batch_stats,
+        tr.mean_part, tr.std_part, tr.mean_s, tr.std_s,
+        dtype=jnp.float32,
+    )
+    save_artifact(path, "lifting", programs, manifest_extra={"epoch": epoch})
+
+
+def test_aot_server_hot_swap(setup, tmp_path):
+    """AOTServer (the daemon adapter): lift numerics, epoch from the
+    manifest, and reload() picking up an atomically-replaced artifact."""
+    import os
+
+    from bilinear_tpu.io.aot import AOTServer
+
+    _, splits, _, state = setup
+    tr = splits[Task.Train]
+    path = str(tmp_path / "srv.aot")
+    _export_lifting_artifact(state, tr, path, epoch=3)
+
+    srv = AOTServer(path)
+    assert srv.kind == "lifting" and srv.epoch == 3
+    assert srv.reload() is False  # unchanged file -> no reload
+    kp = tr.raw_part[:5].reshape(5, 16, 2)
+    np.testing.assert_allclose(
+        srv.lift(kp), _lift_oracle(state, tr, kp), rtol=2e-4, atol=2e-3
+    )
+
+    nxt = str(tmp_path / "srv.aot.tmp")
+    _export_lifting_artifact(state, tr, nxt, epoch=7)
+    os.replace(nxt, path)  # the sanctioned hot-swap: atomic replace
+    assert srv.reload() is True and srv.epoch == 7
+    np.testing.assert_allclose(
+        srv.lift(kp), _lift_oracle(state, tr, kp), rtol=2e-4, atol=2e-3
+    )
+
+
+def test_serve_cli_aot_daemon(setup, tmp_path):
+    """The daemon serving an artifact: `cli.serve --aot` build path, HTTP
+    lift round-trip, /healthz epoch, and /admin/reload hot-swapping a
+    replaced artifact — no checkpoints or data dir anywhere."""
+    import os
+
+    from bilinear_tpu.cli.serve import build_parser, build_server
+    from bilinear_tpu.client import PoseClient
+
+    _, splits, _, state = setup
+    tr = splits[Task.Train]
+    path = str(tmp_path / "daemon.aot")
+    _export_lifting_artifact(state, tr, path, epoch=2)
+
+    args = build_parser().parse_args(
+        ["--aot", path, "--port", "0", "--reload-every", "0",
+         "--max-delay-ms", "1"]
+    )
+    server = build_server(args)
+    server.start()
+    try:
+        client = PoseClient(f"http://{server.host}:{server.port}")
+        h = client.health()
+        assert h["lift"]["epoch"] == 2 and h["pose"] is None
+        kp = tr.raw_part[:4].reshape(4, 16, 2)
+        np.testing.assert_allclose(
+            client.lift(kp), _lift_oracle(state, tr, kp),
+            rtol=2e-4, atol=2e-3,
+        )
+        nxt = str(tmp_path / "daemon.aot.tmp")
+        _export_lifting_artifact(state, tr, nxt, epoch=9)
+        os.replace(nxt, path)
+        assert client.reload()["lift_epoch"] == 9
+        assert client.health()["lift"]["epoch"] == 9
+    finally:
+        server.stop()
+
+
+def test_serve_cli_aot_rejects_duplicate_kind(setup, tmp_path):
+    from bilinear_tpu.cli.serve import build_parser, build_server
+
+    _, splits, _, state = setup
+    tr = splits[Task.Train]
+    a, b = str(tmp_path / "a.aot"), str(tmp_path / "b.aot")
+    _export_lifting_artifact(state, tr, a, epoch=1)
+    _export_lifting_artifact(state, tr, b, epoch=2)
+    args = build_parser().parse_args(["--aot", a, b, "--port", "0"])
+    with pytest.raises(ValueError, match="two 'lifting' artifacts"):
+        build_server(args)
+
+
 def test_load_rejects_foreign_zip(tmp_path):
     path = str(tmp_path / "not_aot.zip")
     with zipfile.ZipFile(path, "w") as z:
