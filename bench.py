@@ -54,23 +54,20 @@ def measure_baseline() -> float:
     return 8192 * 10 / dt
 
 
-def _timed_scalar(fn, *args, reps: int = 3) -> float:
-    """Min wall time of float(fn(*args)) over reps (fetch forces execution)."""
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def _differenced_throughput(forward, x) -> float:
     """Poses/sec of forward(x) by differencing K1- and K2-iteration jitted
-    loops ending in a scalar fetch (cancels RTT + dispatch overhead)."""
+    loops ending in a scalar fetch (cancels RTT + dispatch overhead).
+    Uses the shared adaptive sizing (profiling.adaptive_diff): k2 escalates
+    until the differenced signal dwarfs tunnel-RTT jitter, with an amortized
+    fallback so concurrent traffic on the chip can never produce a negative
+    throughput."""
+    from bilinear_tpu.utils.profiling import adaptive_diff
+
+    x = jax.device_put(x)
 
     def loop(k):
         @jax.jit
-        def run(x):
+        def run():
             def body(_, acc):
                 # acc feeds back into the input so iterations cannot be
                 # hoisted or deduplicated by the compiler.
@@ -81,13 +78,7 @@ def _differenced_throughput(forward, x) -> float:
 
         return run
 
-    run1, run2 = loop(K1), loop(K2)
-    x = jax.device_put(x)
-    float(run1(x))  # compile
-    float(run2(x))
-    t1 = _timed_scalar(run1, x)
-    t2 = _timed_scalar(run2, x)
-    return BATCH / ((t2 - t1) / (K2 - K1))
+    return BATCH / adaptive_diff(loop, K1, K2, reps=3, target_s=0.5)
 
 
 def main() -> None:
