@@ -69,7 +69,9 @@ def build_server(args, logger=None) -> PoseHTTPServer:
             args.run_dir, train, variant=args.variant,
             model_kw=model_kw or None, dtype=dtype,
             batch_sizes=tuple(args.batch_sizes),
-            quantize=quantize,
+            # static scales apply to the lifting MLP only; the detector
+            # keeps dynamic int8 convs.
+            quantize="int8" if quantize == "int8-static" else quantize,
         )
         if logger:
             logger.info("end2end model: epoch %d", end2end.epoch)
@@ -141,7 +143,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--variant", default="torch7")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
-    p.add_argument("--quantize", default="", choices=["", "int8"])
+    p.add_argument("--quantize", default="",
+                   choices=["", "int8", "int8-static"])
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8900)
     p.add_argument("--batch-sizes", type=int, nargs="+", default=[1, 8, 64])

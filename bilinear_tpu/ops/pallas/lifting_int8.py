@@ -88,11 +88,13 @@ def prepare_weights_int8(params, batch_stats):
     }
 
 
-def _quant_dot(h, wq, ws, b):
+def _quant_dot(h, wq, ws, b, s_x=None):
     """relu((q(h) @ wq) * (s_x * s_w) + b) for one f32 activation block.
-    Works identically inside the Pallas kernel and under XLA."""
-    amax = jnp.max(jnp.abs(h))
-    s_x = jnp.maximum(amax, 1e-12) / 127.0
+    Works identically inside the Pallas kernel and under XLA. ``s_x=None``
+    computes the dynamic per-block scale; a float fixes it (static mode)."""
+    if s_x is None:
+        amax = jnp.max(jnp.abs(h))
+        s_x = jnp.maximum(amax, 1e-12) / 127.0
     hq = jnp.clip(jnp.round(h / s_x), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         hq, wq,
@@ -123,6 +125,88 @@ def _kernel(x_ref, enc_w, enc_b,
     ) + dec_b[:]
 
 
+@functools.lru_cache(maxsize=16)
+def _make_static_kernel(scales):
+    """Kernel with the four activation scales baked in as constants
+    (calibrated static quantization). Removing the per-tile amax reduce is
+    worth ~14% on-chip (benchmarks/int8_scale_probe.py: dynamic 33.2 M ->
+    fixed 38.0 M poses/sec at tile 512, within 1.7% of the kernel's
+    MXU-bound ceiling), and makes the numerics tile-size-independent."""
+    sx0, sx1, sx2, sx3 = scales
+
+    def kernel(x_ref, enc_w, enc_b,
+               w0, s0, b0, w1, s1, b1, w2, s2, b2, w3, s3, b3,
+               dec_w, dec_b, out_ref):
+        h = jnp.dot(
+            x_ref[:], enc_w[:], preferred_element_type=jnp.float32
+        ) + enc_b[:]
+        h = jnp.maximum(h, 0.0)
+        skip = h
+        h = _quant_dot(h, w0[:], s0[:], b0[:], s_x=sx0)
+        h = _quant_dot(h, w1[:], s1[:], b1[:], s_x=sx1)
+        h = h + skip
+        skip = h
+        h = _quant_dot(h, w2[:], s2[:], b2[:], s_x=sx2)
+        h = _quant_dot(h, w3[:], s3[:], b3[:], s_x=sx3)
+        h = h + skip
+        out_ref[:] = jnp.dot(
+            h.astype(jnp.bfloat16), dec_w[:], preferred_element_type=jnp.float32
+        ) + dec_b[:]
+
+    return kernel
+
+
+def _round_sig(x: float, digits: int = 3) -> float:
+    """Round to ``digits`` significant figures — calibration scales are
+    coarsened so that re-calibrating after a checkpoint hot-reload usually
+    produces the SAME floats, letting the jitted static program hit the
+    compile cache instead of recompiling per reload."""
+    if x == 0.0:
+        return 0.0
+    from math import floor, log10
+
+    return round(x, -int(floor(log10(abs(x)))) + digits - 1)
+
+
+def calibrate_scales(prepared, x, margin: float = 1.0, digits: int = 3):
+    """Static per-layer activation scales from a calibration batch.
+
+    Runs the dynamic-int8 forward on ``x`` (f32, pre-normalized inputs —
+    the serving path z-scores, so a standard-normal sample is
+    representative) and records max|h| entering each of the four quantized
+    layers. Returns a tuple of four PYTHON floats (``amax * margin / 127``,
+    rounded to ``digits`` significant figures) — keep them OUT of jitted
+    pytrees and pass via ``lifting_forward_int8(static_scales=...)`` so
+    they compile as constants. Inputs beyond the calibrated range saturate
+    at +-127 (graceful int8 clipping); raise ``margin`` for headroom."""
+    enc_w, enc_b = prepared["encode"]
+    (w0, s0, b0), (w1, s1, b1), (w2, s2, b2), (w3, s3, b3) = (
+        prepared["hidden"]
+    )
+
+    @jax.jit
+    def amaxes(x):
+        h = jnp.dot(
+            x.astype(jnp.bfloat16), enc_w, preferred_element_type=jnp.float32
+        ) + enc_b
+        h = jnp.maximum(h, 0.0)
+        skip = h
+        a0 = jnp.max(jnp.abs(h))
+        h = _quant_dot(h, w0, s0, b0)
+        a1 = jnp.max(jnp.abs(h))
+        h = _quant_dot(h, w1, s1, b1)
+        h = h + skip
+        a2 = jnp.max(jnp.abs(h))
+        h = _quant_dot(h, w2, s2, b2)
+        a3 = jnp.max(jnp.abs(h))
+        return jnp.stack([a0, a1, a2, a3])
+
+    a = jax.device_get(amaxes(jnp.asarray(x, jnp.float32)))
+    return tuple(
+        _round_sig(max(float(v), 1e-12) * margin / 127.0, digits) for v in a
+    )
+
+
 def _flatten(prepared):
     enc_w, enc_b = prepared["encode"]
     dec_w, dec_b = prepared["decode"]
@@ -133,25 +217,31 @@ def _flatten(prepared):
     return flat
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _run_pallas(x, flat_weights, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tile", "static_scales")
+)
+def _run_pallas(x, flat_weights, interpret: bool = False, tile: int = TILE,
+                static_scales=None):
     n = x.shape[0]
+    kernel = (
+        _kernel if static_scales is None else _make_static_kernel(static_scales)
+    )
 
     def w_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((TILE, IN_F), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((tile, IN_F), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ]
     in_specs += [w_spec(w.shape) for w in flat_weights]
 
     return pl.pallas_call(
-        _kernel,
-        grid=(n // TILE,),
+        kernel,
+        grid=(n // tile,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (TILE, OUT_F), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile, OUT_F), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, OUT_F), jnp.float32),
         interpret=interpret,
@@ -166,13 +256,15 @@ def _run_pallas(x, flat_weights, interpret: bool = False):
     )(x, *flat_weights)
 
 
-@jax.jit
-def _run_xla(x, prepared):
+@functools.partial(jax.jit, static_argnames=("tile", "static_scales"))
+def _run_xla(x, prepared, tile: int = TILE, static_scales=None):
     """Same math as the kernel, straight-line XLA — oracle + fallback. The
     per-TILE dynamic activation scale is reproduced exactly so both backends
-    are bit-comparable."""
+    are bit-comparable; with ``static_scales`` the same constants are baked
+    in instead (numerics then independent of ``tile``)."""
     enc_w, enc_b = prepared["encode"]
     dec_w, dec_b = prepared["decode"]
+    sx = (None,) * 4 if static_scales is None else static_scales
 
     def tile_fn(xt):
         h = jnp.dot(
@@ -184,40 +276,49 @@ def _run_xla(x, prepared):
         (w0, s0, b0), (w1, s1, b1), (w2, s2, b2), (w3, s3, b3) = (
             prepared["hidden"]
         )
-        h = _quant_dot(h, w0, s0, b0)
-        h = _quant_dot(h, w1, s1, b1)
+        h = _quant_dot(h, w0, s0, b0, s_x=sx[0])
+        h = _quant_dot(h, w1, s1, b1, s_x=sx[1])
         h = h + skip
         skip = h
-        h = _quant_dot(h, w2, s2, b2)
-        h = _quant_dot(h, w3, s3, b3)
+        h = _quant_dot(h, w2, s2, b2, s_x=sx[2])
+        h = _quant_dot(h, w3, s3, b3, s_x=sx[3])
         h = h + skip
         return jnp.dot(
             h.astype(jnp.bfloat16), dec_w, preferred_element_type=jnp.float32
         ) + dec_b
 
     n = x.shape[0]
-    xt = x.reshape(n // TILE, TILE, IN_F)
+    xt = x.reshape(n // tile, tile, IN_F)
     return jax.lax.map(tile_fn, xt).reshape(n, OUT_F)
 
 
 def lifting_forward_int8(
     params=None, batch_stats=None, x=None, *,
     prepared=None, backend: str = "pallas", interpret: bool = False,
+    static_scales=None,
 ):
     """Drop-in eval-mode forward, int8 hidden layers. Same contract as
-    ``lifting.lifting_forward``: pads the batch to a TILE multiple, unpads
-    the result. Pass ``prepared=prepare_weights_int8(...)`` to amortize."""
+    ``lifting.lifting_forward``: pads the batch to a tile multiple, unpads
+    the result. Pass ``prepared=prepare_weights_int8(...)`` to amortize.
+
+    ``static_scales``: a tuple of four python floats from
+    ``calibrate_scales`` — bakes the activation scales in as constants
+    (calibrated static quantization), which removes the per-tile amax
+    reduce (~14% faster on-chip) and makes the result independent of the
+    tile size, so large batches also run the 1024-row tile (another ~5%)."""
     if prepared is None:
         prepared = prepare_weights_int8(params, batch_stats)
     n = x.shape[0]
-    pad = (-n) % TILE
+    tile = 1024 if (static_scales is not None and n >= 1024) else TILE
+    pad = (-n) % tile
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
     x = x.astype(jnp.bfloat16)
     if backend == "pallas":
-        out = _run_pallas(x, _flatten(prepared), interpret=interpret)
+        out = _run_pallas(x, _flatten(prepared), interpret=interpret,
+                          tile=tile, static_scales=static_scales)
     elif backend == "xla":
-        out = _run_xla(x, prepared)
+        out = _run_xla(x, prepared, tile=tile, static_scales=static_scales)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     return out[:n]

@@ -56,6 +56,13 @@ class LiftingServer:
         """``quantize="int8"`` switches the hidden layers to dynamic int8
         MXU matmuls (ops/pallas/lifting_int8.py) — ~2x the bf16 MAC peak on
         v5e-class chips at <0.1 mm MPJPE cost (tests/test_lifting_int8.py).
+        ``quantize="int8-static"`` additionally bakes calibrated activation
+        scales in as compile-time constants (~14% over dynamic int8 on-chip,
+        benchmarks/int8_scale_probe.py) — calibrated on a standard-normal
+        sample, which IS the serving input distribution because ``lift``
+        z-scores with the train stats; scales are re-calibrated (and the
+        program re-jitted, usually hitting the compile cache thanks to
+        3-significant-digit rounding) on checkpoint hot-reload.
         Default (None) is the bf16 kernel.
 
         ``mesh``: a ``jax.sharding.Mesh`` (parallel/mesh.py) for pod-scale
@@ -63,11 +70,12 @@ class LiftingServer:
         and each device runs the fused kernel on its shard (weights
         replicated; no cross-device traffic in the forward). On one device
         this degenerates to the plain path."""
-        if quantize not in (None, "int8"):
+        if quantize not in (None, "int8", "int8-static"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
         self._quantize = quantize
         self._dtype = dtype
         self._interpret = interpret
+        self._mesh = None  # _set_weights consults it; real value set below
         self._set_weights(params, batch_stats)
         self.parameter_dir: Optional[str] = None  # set by from_run_dir
         self.epoch = 0
@@ -79,47 +87,72 @@ class LiftingServer:
 
         self._mesh = mesh
         if mesh is not None:
-            from bilinear_tpu.parallel.mesh import shard_map_compat
-            from jax.sharding import PartitionSpec as P
-
             from bilinear_tpu.parallel.mesh import DATA_AXIS
 
             self._data_size = int(mesh.shape[DATA_AXIS])
-            if quantize == "int8":
-                from bilinear_tpu.ops.pallas.lifting_int8 import (
-                    lifting_forward_int8,
-                )
+            self._build_sharded()
 
-                def kernel(weights, x):
-                    return lifting_forward_int8(
-                        x=x, prepared=weights, interpret=interpret
-                    )
-            else:
-                def kernel(weights, x):
-                    return lifting_forward(
-                        None, None, x, dtype=dtype, interpret=interpret,
-                        prepared=weights,
-                    )
+    def _build_sharded(self) -> None:
+        """(Re)build the mesh-sharded forward. Called on construction and —
+        for ``int8-static``, whose scales are baked compile-time constants —
+        after every checkpoint reload."""
+        from jax.sharding import PartitionSpec as P
 
-            batch_spec = P(DATA_AXIS)
-            self._sharded_fwd = jax.jit(
-                shard_map_compat(
-                    kernel, mesh=mesh,
-                    in_specs=(P(), batch_spec), out_specs=batch_spec,
-                    check_rep=False,
-                )
+        from bilinear_tpu.parallel.mesh import DATA_AXIS, shard_map_compat
+
+        interpret = self._interpret
+        if self._quantize in ("int8", "int8-static"):
+            from bilinear_tpu.ops.pallas.lifting_int8 import (
+                lifting_forward_int8,
             )
+
+            scales = (
+                self._static_scales
+                if self._quantize == "int8-static" else None
+            )
+
+            def kernel(weights, x):
+                return lifting_forward_int8(
+                    x=x, prepared=weights, interpret=interpret,
+                    static_scales=scales,
+                )
+        else:
+            dtype = self._dtype
+
+            def kernel(weights, x):
+                return lifting_forward(
+                    None, None, x, dtype=dtype, interpret=interpret,
+                    prepared=weights,
+                )
+
+        batch_spec = P(DATA_AXIS)
+        self._sharded_fwd = jax.jit(
+            shard_map_compat(
+                kernel, mesh=self._mesh,
+                in_specs=(P(), batch_spec), out_specs=batch_spec,
+                check_rep=False,
+            )
+        )
 
     def _set_weights(self, params, batch_stats) -> None:
         """(Re)fold the checkpoint into the kernel's prepared form."""
         self._params = params
         self._batch_stats = batch_stats
-        if self._quantize == "int8":
+        if self._quantize in ("int8", "int8-static"):
             from bilinear_tpu.ops.pallas.lifting_int8 import (
+                calibrate_scales,
                 prepare_weights_int8,
             )
 
             self._prepared = prepare_weights_int8(params, batch_stats)
+            if self._quantize == "int8-static":
+                # The kernel's inputs are z-scored (lift() normalizes with
+                # the train stats), so a standard-normal sample IS the
+                # serving input distribution.
+                calib = jax.random.normal(jax.random.PRNGKey(0), (4096, 32))
+                self._static_scales = calibrate_scales(self._prepared, calib)
+                if self._mesh is not None:
+                    self._build_sharded()  # scales are baked constants
         else:
             self._prepared = prepare_weights(params, batch_stats, self._dtype)
 
@@ -177,13 +210,17 @@ class LiftingServer:
                     [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0
                 )
             return self._sharded_fwd(self._prepared, x)[:n]
-        if self._quantize == "int8":
+        if self._quantize in ("int8", "int8-static"):
             from bilinear_tpu.ops.pallas.lifting_int8 import (
                 lifting_forward_int8,
             )
 
             return lifting_forward_int8(
                 x=x, prepared=self._prepared, interpret=self._interpret,
+                static_scales=(
+                    self._static_scales
+                    if self._quantize == "int8-static" else None
+                ),
             )
         return lifting_forward(
             self._params,

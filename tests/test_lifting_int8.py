@@ -129,3 +129,104 @@ def test_server_int8_mode(trained):
     with pytest.raises(ValueError):
         LiftingServer(state.params, state.batch_stats,
                       quantize="int4", **kw)
+
+
+# ---- calibrated static-scale mode (benchmarks/int8_scale_probe.py showed
+# the dynamic per-tile amax reduce costs ~14% on-chip; static scales reach
+# within ~2% of the kernel's MXU-bound ceiling) ----
+
+
+def test_static_kernel_matches_xla_backend(trained):
+    state, (mx, sx, _, _), (x_va, _) = trained
+    xn = jnp.asarray((x_va - mx) / sx)
+    prep = q.prepare_weights_int8(state.params, state.batch_stats)
+    scales = q.calibrate_scales(prep, xn)
+    yk = np.asarray(
+        q.lifting_forward_int8(x=xn, prepared=prep, backend="pallas",
+                               interpret=True, static_scales=scales)
+    )
+    yx = np.asarray(
+        q.lifting_forward_int8(x=xn, prepared=prep, backend="xla",
+                               static_scales=scales)
+    )
+    np.testing.assert_array_equal(yk, yx)
+
+
+def test_static_trained_accuracy_within_gates(trained):
+    """Same gates as the dynamic mode: on a trained net, calibrated static
+    scales must not move the metric either (calibration inputs are the val
+    distribution itself here, as in serving where inputs are z-scored)."""
+    state, (mx, sx, my, sy), (x_va, y_va) = trained
+    xn = jnp.asarray((x_va - mx) / sx)
+    ref = np.asarray(
+        lifting_forward(state.params, state.batch_stats, xn,
+                        dtype=jnp.float32, interpret=True)
+    )
+    prep = q.prepare_weights_int8(state.params, state.batch_stats)
+    scales = q.calibrate_scales(prep, xn)
+    out = np.asarray(
+        q.lifting_forward_int8(x=xn, prepared=prep, backend="xla",
+                               static_scales=scales)
+    )
+    p_ref = (ref * sy + my).reshape(-1, 16, 3)
+    p_q = (out * sy + my).reshape(-1, 16, 3)
+    gt = y_va.reshape(-1, 16, 3)
+    mpjpe_ref = np.linalg.norm(p_ref - gt, axis=-1).mean()
+    mpjpe_q = np.linalg.norm(p_q - gt, axis=-1).mean()
+    delta = np.linalg.norm(p_ref - p_q, axis=-1).mean()
+    assert delta < 0.10 * mpjpe_ref
+    assert abs(mpjpe_q - mpjpe_ref) < 0.005 * mpjpe_ref
+
+
+def test_static_numerics_are_tile_independent(trained):
+    """With fixed scales there is no per-tile reduction, so the result must
+    be IDENTICAL across tile sizes (the on-chip path exploits this to run
+    1024-row tiles for large batches)."""
+    state, (mx, sx, _, _), (x_va, _) = trained
+    rng = np.random.RandomState(3)
+    xn = jnp.asarray(rng.randn(2048, 32).astype(np.float32))
+    prep = q.prepare_weights_int8(state.params, state.batch_stats)
+    scales = q.calibrate_scales(prep, xn)
+    y512 = np.asarray(
+        q._run_xla(xn.astype(jnp.bfloat16), prep, tile=512,
+                   static_scales=scales)
+    )
+    y1024 = np.asarray(
+        q._run_xla(xn.astype(jnp.bfloat16), prep, tile=1024,
+                   static_scales=scales)
+    )
+    np.testing.assert_array_equal(y512, y1024)
+
+
+def test_calibrate_scales_properties(trained):
+    state, (mx, sx, _, _), (x_va, _) = trained
+    xn = jnp.asarray((x_va - mx) / sx)
+    prep = q.prepare_weights_int8(state.params, state.batch_stats)
+    scales = q.calibrate_scales(prep, xn)
+    assert len(scales) == 4
+    assert all(isinstance(s, float) and s > 0 for s in scales)
+    # Deterministic (hot-reload compile-cache friendliness).
+    assert scales == q.calibrate_scales(prep, xn)
+    # Margin scales linearly, up to the significant-digit rounding.
+    doubled = q.calibrate_scales(prep, xn, margin=2.0)
+    for s, d in zip(scales, doubled):
+        assert abs(d - 2 * s) <= 0.02 * d
+
+
+def test_server_int8_static_mode(trained):
+    from bilinear_tpu.serving import LiftingServer
+
+    state, (mx, sx, my, sy), (x_va, _) = trained
+    kw = dict(
+        mean_part=mx, std_part=sx, mean_s=my, std_s=sy, interpret=True
+    )
+    srv_q = LiftingServer(state.params, state.batch_stats,
+                          quantize="int8-static", **kw)
+    srv_f = LiftingServer(state.params, state.batch_stats,
+                          dtype=jnp.float32, **kw)
+    kp = x_va[:33].reshape(-1, 16, 2)  # odd batch exercises tile padding
+    mm_q = np.asarray(srv_q.lift(kp))
+    mm_f = np.asarray(srv_f.lift(kp))
+    assert mm_q.shape == (33, 16, 3)
+    scale = np.abs(mm_f).mean()
+    assert np.abs(mm_q - mm_f).mean() < 0.05 * scale

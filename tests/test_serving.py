@@ -138,7 +138,7 @@ def test_end2end_server_hot_reload(e2e_setup):
     assert not np.allclose(mm_after, mm_before)
 
 
-@pytest.mark.parametrize("quantize", [None, "int8"])
+@pytest.mark.parametrize("quantize", [None, "int8", "int8-static"])
 def test_mesh_sharded_lifting_matches_single_device(setup, quantize):
     """Pod-scale serving: LiftingServer(mesh=...) shards the request batch
     over the 'data' axis (shard_map around the same kernel) and must
@@ -163,6 +163,12 @@ def test_mesh_sharded_lifting_matches_single_device(setup, quantize):
     want = np.asarray(plain.lift(kp))
     if quantize is None:
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-3)
+    elif quantize == "int8-static":
+        # Static scales are per-layer CONSTANTS: regrouping rows into
+        # different shards/tiles cannot change any row's math, so sharded
+        # serving is bit-identical to single-device — one of the practical
+        # upsides of the calibrated mode.
+        np.testing.assert_array_equal(got, want)
     else:
         # int8 activation scales are DYNAMIC per row-tile; sharding regroups
         # rows into different tiles, so outputs agree only to within the
