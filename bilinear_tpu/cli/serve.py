@@ -36,6 +36,7 @@ from bilinear_tpu.config import apply_platform_override
 
 apply_platform_override()  # before any backend touch (same as parse_config)
 
+import jax
 import jax.numpy as jnp
 
 from bilinear_tpu.data.h36m import Protocol, Task, load_h36m
@@ -56,11 +57,20 @@ def build_server(args, logger=None) -> PoseHTTPServer:
             n_stacks=args.n_stacks, features=args.features, depth=args.depth
         )
 
+    interpret = args.interpret
+    if not interpret and jax.default_backend() == "cpu":
+        # The Pallas lifting kernels only run natively on TPU; on a CPU
+        # backend every /v1/lift would 500 at request time. Fall back to
+        # interpret mode (same numerics) instead of serving a broken route.
+        interpret = True
+        if logger:
+            logger.info("cpu backend: interpret-mode Pallas kernels")
+
     lifting = end2end = None
     if args.kind in ("lifting", "both"):
         lifting, epoch = LiftingServer.from_run_dir(
             args.lifting_run_dir or args.run_dir, train,
-            dtype=dtype, quantize=quantize, interpret=args.interpret,
+            dtype=dtype, quantize=quantize, interpret=interpret,
         )
         if logger:
             logger.info("lifting model: epoch %d", epoch)

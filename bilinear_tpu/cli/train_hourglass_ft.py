@@ -72,8 +72,9 @@ def main(argv=None) -> None:
             state, pipeline, epoch, jax.random.fold_in(rng, epoch),
             log_every=100, logger=logger, group=cfg.steps_per_dispatch,
         )
-        if primary:
-            save_checkpoint(parameter_dir, epoch, state)
+        if not primary:
+            continue  # checkpoint/TB/log are primary-only artifacts
+        save_checkpoint(parameter_dir, epoch, state)
         writer.scalar("FT/loss", float(loss), int(state.step))
         logger.info("Epoch %d saved (loss: %f)", epoch, float(loss))
     writer.close()

@@ -307,26 +307,29 @@ class MPIIHostPipeline:
         sentinel = object()
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # Bounded put + stop flag: if the consumer abandons the
+            # generator (recalibrate's max_batches break, exceptions in the
+            # train loop), the thread must exit instead of blocking on the
+            # full queue forever holding ~25 MB decoded batches. Applies to
+            # the sentinel/error puts too — an abandoned epoch can leave the
+            # queue full right as the worker finishes its last batch.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for b in batches:
-                    item = self._load(b)
-                    # Bounded put + stop flag: if the consumer abandons the
-                    # generator (recalibrate's max_batches break, exceptions
-                    # in the train loop), the thread must exit instead of
-                    # blocking on the full queue forever holding ~25 MB
-                    # decoded batches.
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_or_stop(self._load(b)):
                         return
-                q.put(sentinel)
+                put_or_stop(sentinel)
             except BaseException as e:  # surface loader errors to the consumer
-                q.put(e)
+                put_or_stop(e)
 
         t = threading.Thread(
             target=worker, daemon=True, name="pipeline-prefetch"

@@ -105,33 +105,15 @@ def _quant_dot(h, wq, ws, b, s_x=None):
     return jnp.maximum(y, 0.0)
 
 
-def _kernel(x_ref, enc_w, enc_b,
-            w0, s0, b0, w1, s1, b1, w2, s2, b2, w3, s3, b3,
-            dec_w, dec_b, out_ref):
-    h = jnp.dot(
-        x_ref[:], enc_w[:], preferred_element_type=jnp.float32
-    ) + enc_b[:]
-    h = jnp.maximum(h, 0.0)  # f32 activations between quantized layers
-    skip = h
-    h = _quant_dot(h, w0[:], s0[:], b0[:])
-    h = _quant_dot(h, w1[:], s1[:], b1[:])
-    h = h + skip
-    skip = h
-    h = _quant_dot(h, w2[:], s2[:], b2[:])
-    h = _quant_dot(h, w3[:], s3[:], b3[:])
-    h = h + skip
-    out_ref[:] = jnp.dot(
-        h.astype(jnp.bfloat16), dec_w[:], preferred_element_type=jnp.float32
-    ) + dec_b[:]
-
-
 @functools.lru_cache(maxsize=16)
 def _make_static_kernel(scales):
-    """Kernel with the four activation scales baked in as constants
-    (calibrated static quantization). Removing the per-tile amax reduce is
-    worth ~14% on-chip (benchmarks/int8_scale_probe.py: dynamic 33.2 M ->
-    fixed 38.0 M poses/sec at tile 512, within 1.7% of the kernel's
-    MXU-bound ceiling), and makes the numerics tile-size-independent."""
+    """The whole-network int8 kernel, parameterized by the four activation
+    scales: ``None`` entries compute the dynamic per-tile amax (the default
+    mode); floats bake in as constants (calibrated static quantization).
+    Removing the per-tile amax reduce is worth ~14% on-chip
+    (benchmarks/int8_scale_probe.py: dynamic 33.2 M -> fixed 38.0 M
+    poses/sec at tile 512, within 1.7% of the kernel's MXU-bound ceiling),
+    and makes the numerics tile-size-independent."""
     sx0, sx1, sx2, sx3 = scales
 
     def kernel(x_ref, enc_w, enc_b,
@@ -140,7 +122,7 @@ def _make_static_kernel(scales):
         h = jnp.dot(
             x_ref[:], enc_w[:], preferred_element_type=jnp.float32
         ) + enc_b[:]
-        h = jnp.maximum(h, 0.0)
+        h = jnp.maximum(h, 0.0)  # f32 activations between quantized layers
         skip = h
         h = _quant_dot(h, w0[:], s0[:], b0[:], s_x=sx0)
         h = _quant_dot(h, w1[:], s1[:], b1[:], s_x=sx1)
@@ -154,6 +136,11 @@ def _make_static_kernel(scales):
         ) + dec_b[:]
 
     return kernel
+
+
+# The dynamic-scale kernel is the same code with no scale baked in (used
+# directly by benchmarks/int8_scale_probe.py).
+_kernel = _make_static_kernel((None,) * 4)
 
 
 def _round_sig(x: float, digits: int = 3) -> float:
@@ -223,8 +210,8 @@ def _flatten(prepared):
 def _run_pallas(x, flat_weights, interpret: bool = False, tile: int = TILE,
                 static_scales=None):
     n = x.shape[0]
-    kernel = (
-        _kernel if static_scales is None else _make_static_kernel(static_scales)
+    kernel = _make_static_kernel(
+        (None,) * 4 if static_scales is None else static_scales
     )
 
     def w_spec(shape):

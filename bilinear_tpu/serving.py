@@ -23,7 +23,7 @@ model/end2end.py:21-43).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,22 @@ from bilinear_tpu.io.checkpoint import (
     resume_or_init,
 )
 from bilinear_tpu.ops.pallas.lifting import lifting_forward, prepare_weights
+
+
+class _LiftingEngine(NamedTuple):
+    """Immutable snapshot of everything one forward needs: raw variables,
+    folded/quantized weights, calibration scales, and (mesh mode) the
+    sharded program with those scales baked in. ``_set_weights`` builds a
+    complete new engine and publishes it with ONE reference assignment, and
+    ``_forward`` reads ``self._engine`` exactly once — so a hot reload can
+    never pair new weights with a previous checkpoint's calibration scales
+    or compiled program, even mid-request on another thread."""
+
+    params: object
+    batch_stats: object
+    prepared: object
+    static_scales: Optional[tuple]
+    sharded_fwd: Optional[object]
 
 
 class LiftingServer:
@@ -75,7 +91,11 @@ class LiftingServer:
         self._quantize = quantize
         self._dtype = dtype
         self._interpret = interpret
-        self._mesh = None  # _set_weights consults it; real value set below
+        self._mesh = mesh
+        if mesh is not None:
+            from bilinear_tpu.parallel.mesh import DATA_AXIS
+
+            self._data_size = int(mesh.shape[DATA_AXIS])
         self._set_weights(params, batch_stats)
         self.parameter_dir: Optional[str] = None  # set by from_run_dir
         self.epoch = 0
@@ -85,17 +105,10 @@ class LiftingServer:
         self._mean_s = jnp.asarray(mean_s)
         self._std_s = jnp.asarray(std_s)
 
-        self._mesh = mesh
-        if mesh is not None:
-            from bilinear_tpu.parallel.mesh import DATA_AXIS
-
-            self._data_size = int(mesh.shape[DATA_AXIS])
-            self._build_sharded()
-
-    def _build_sharded(self) -> None:
-        """(Re)build the mesh-sharded forward. Called on construction and —
-        for ``int8-static``, whose scales are baked compile-time constants —
-        after every checkpoint reload."""
+    def _build_sharded(self, prepared, static_scales):
+        """Build the mesh-sharded forward for one weight snapshot. For
+        ``int8-static`` the scales compile in as constants, so the program
+        belongs to the snapshot, not the server."""
         from jax.sharding import PartitionSpec as P
 
         from bilinear_tpu.parallel.mesh import DATA_AXIS, shard_map_compat
@@ -106,15 +119,10 @@ class LiftingServer:
                 lifting_forward_int8,
             )
 
-            scales = (
-                self._static_scales
-                if self._quantize == "int8-static" else None
-            )
-
             def kernel(weights, x):
                 return lifting_forward_int8(
                     x=x, prepared=weights, interpret=interpret,
-                    static_scales=scales,
+                    static_scales=static_scales,
                 )
         else:
             dtype = self._dtype
@@ -126,7 +134,7 @@ class LiftingServer:
                 )
 
         batch_spec = P(DATA_AXIS)
-        self._sharded_fwd = jax.jit(
+        return jax.jit(
             shard_map_compat(
                 kernel, mesh=self._mesh,
                 in_specs=(P(), batch_spec), out_specs=batch_spec,
@@ -135,26 +143,35 @@ class LiftingServer:
         )
 
     def _set_weights(self, params, batch_stats) -> None:
-        """(Re)fold the checkpoint into the kernel's prepared form."""
-        self._params = params
-        self._batch_stats = batch_stats
+        """(Re)fold the checkpoint into the kernel's prepared form. Builds
+        the COMPLETE new engine (weights, calibration scales, sharded
+        program) before publishing it in one atomic reference assignment —
+        a concurrent ``_forward`` sees either the old snapshot or the new
+        one, never new weights with old scales (serving hot-reload runs on
+        a different thread from the request batcher)."""
+        static_scales = None
         if self._quantize in ("int8", "int8-static"):
             from bilinear_tpu.ops.pallas.lifting_int8 import (
                 calibrate_scales,
                 prepare_weights_int8,
             )
 
-            self._prepared = prepare_weights_int8(params, batch_stats)
+            prepared = prepare_weights_int8(params, batch_stats)
             if self._quantize == "int8-static":
                 # The kernel's inputs are z-scored (lift() normalizes with
                 # the train stats), so a standard-normal sample IS the
                 # serving input distribution.
                 calib = jax.random.normal(jax.random.PRNGKey(0), (4096, 32))
-                self._static_scales = calibrate_scales(self._prepared, calib)
-                if self._mesh is not None:
-                    self._build_sharded()  # scales are baked constants
+                static_scales = calibrate_scales(prepared, calib)
         else:
-            self._prepared = prepare_weights(params, batch_stats, self._dtype)
+            prepared = prepare_weights(params, batch_stats, self._dtype)
+        sharded_fwd = (
+            self._build_sharded(prepared, static_scales)
+            if self._mesh is not None else None
+        )
+        self._engine = _LiftingEngine(
+            params, batch_stats, prepared, static_scales, sharded_fwd
+        )
 
     @classmethod
     def from_run_dir(cls, run_dir: str, split: H36MSplit, **kw):
@@ -202,6 +219,8 @@ class LiftingServer:
         return True
 
     def _forward(self, x) -> jnp.ndarray:
+        eng = self._engine  # ONE read: a consistent (weights, scales,
+        # program) snapshot even if reload() publishes mid-request
         if self._mesh is not None:
             n = x.shape[0]
             pad = (-n) % self._data_size
@@ -209,26 +228,23 @@ class LiftingServer:
                 x = jnp.concatenate(
                     [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0
                 )
-            return self._sharded_fwd(self._prepared, x)[:n]
+            return eng.sharded_fwd(eng.prepared, x)[:n]
         if self._quantize in ("int8", "int8-static"):
             from bilinear_tpu.ops.pallas.lifting_int8 import (
                 lifting_forward_int8,
             )
 
             return lifting_forward_int8(
-                x=x, prepared=self._prepared, interpret=self._interpret,
-                static_scales=(
-                    self._static_scales
-                    if self._quantize == "int8-static" else None
-                ),
+                x=x, prepared=eng.prepared, interpret=self._interpret,
+                static_scales=eng.static_scales,
             )
         return lifting_forward(
-            self._params,
-            self._batch_stats,
+            eng.params,
+            eng.batch_stats,
             x,
             dtype=self._dtype,
             interpret=self._interpret,
-            prepared=self._prepared,
+            prepared=eng.prepared,
         )
 
     def lift(self, keypoints_2d) -> jnp.ndarray:

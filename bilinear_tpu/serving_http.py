@@ -49,6 +49,15 @@ class ServerBusy(Exception):
     """The batcher's pending-row budget is exhausted (-> HTTP 503)."""
 
 
+class BackendError(Exception):
+    """The backend failed on an already-validated batch (-> HTTP 500).
+
+    By submit time a request has passed all shape/format validation, so an
+    exception out of the dispatcher — even a ValueError from a misconfigured
+    backend — is the server's fault and is shared by every co-batched rider;
+    answering 400 would blame well-formed requests for a server incident."""
+
+
 class _Pending:
     __slots__ = ("arrays", "n_rows", "event", "result", "error")
 
@@ -190,6 +199,19 @@ class DynamicBatcher:
 # ---------------------------------------------------------------------------
 
 
+def _submit(batcher: DynamicBatcher, *arrays: np.ndarray) -> tuple:
+    """Route batcher/backend failures to the right HTTP class: ModelNotLoaded
+    (404) and ServerBusy (503) pass through; anything else becomes
+    BackendError so the handler's ValueError->400 mapping cannot blame the
+    client for a server-side failure (see BackendError)."""
+    try:
+        return batcher.submit(*arrays)
+    except (ModelNotLoaded, ServerBusy):
+        raise
+    except Exception as e:
+        raise BackendError(f"{type(e).__name__}: {e}") from e
+
+
 def _npy_bytes(arr: np.ndarray) -> bytes:
     buf = io.BytesIO()
     np.save(buf, arr, allow_pickle=False)
@@ -310,7 +332,7 @@ class _Handler(BaseHTTPRequestHandler):
             )
         if kp.ndim != 3 or kp.shape[1:] != (16, 2):
             raise ValueError(f"keypoints must be (N, 16, 2), got {kp.shape}")
-        (mm,) = self.service.lift_batcher.submit(kp.astype(np.float32))
+        (mm,) = _submit(self.service.lift_batcher, kp.astype(np.float32))
         if as_npy:
             self._send(200, _npy_bytes(mm), "application/x-npy")
         else:
@@ -343,8 +365,9 @@ class _Handler(BaseHTTPRequestHandler):
             raise ValueError(f"scales must be ({n},), got {scales.shape}")
         if frames.dtype == np.uint8:
             frames = frames.astype(np.float32) / 255.0
-        pose2d, pose3d = self.service.pose_batcher.submit(
-            frames.astype(np.float32), centers, scales
+        pose2d, pose3d = _submit(
+            self.service.pose_batcher,
+            frames.astype(np.float32), centers, scales,
         )
         self._send(
             200,
@@ -547,8 +570,13 @@ class PoseHTTPServer:
             try:
                 result = self.reload_now()
                 if result["reloaded"] and self.logger is not None:
+                    epochs = [
+                        f"{k}={result[k]}"
+                        for k in ("epoch", "lift_epoch")
+                        if result[k] is not None
+                    ]
                     self.logger.info(
-                        "hot-reloaded checkpoint epoch %s", result["epoch"]
+                        "hot-reloaded checkpoint %s", " ".join(epochs)
                     )
             except Exception as e:  # keep polling through transient errors
                 if self.logger is not None:

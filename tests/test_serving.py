@@ -208,3 +208,48 @@ def test_end2end_server_mesh_sharded_matches(e2e_setup):
         End2EndServer.from_run_dir(
             run_dir, tr, model_kw=E2E_KW, batch_sizes=(1, 8), mesh=mesh
         )
+
+
+def test_int8_static_reload_publishes_engine_atomically(
+    setup, tmp_path, monkeypatch
+):
+    """Hot-reload safety (regression): in int8-static mode _set_weights must
+    keep serving the OLD (weights, calibration-scales, program) snapshot for
+    the whole rebuild — including the slow jitted calibration forward — and
+    publish the new engine in one reference assignment. The original code
+    assigned self._prepared first and self._static_scales seconds later,
+    so a concurrent lift quantized the NEW checkpoint's activations with
+    the OLD checkpoint's scales."""
+    _, splits, _, state = setup
+    tr = splits[Task.Train]
+    run_dir = str(tmp_path / "run")
+    save_checkpoint(run_dir + "/parameter", 1, state)
+    server, _ = LiftingServer.from_run_dir(
+        run_dir, tr, interpret=True, quantize="int8-static"
+    )
+    old_engine = server._engine
+    kp = tr.raw_part[:4].reshape(4, 16, 2)
+    before = np.asarray(server.lift(kp))
+
+    import bilinear_tpu.ops.pallas.lifting_int8 as li8
+
+    real_cal = li8.calibrate_scales
+    seen = {}
+
+    def spying_cal(prepared, x, **kw):
+        # Mid-rebuild (weights already folded, calibration running): the
+        # published engine must still be the old snapshot.
+        seen["engine_during_calibration"] = server._engine
+        return real_cal(prepared, x, **kw)
+
+    monkeypatch.setattr(li8, "calibrate_scales", spying_cal)
+
+    bumped = state.replace(
+        params=jax.tree.map(lambda v: v * 1.5 + 0.05, state.params)
+    )
+    save_checkpoint(run_dir + "/parameter", 2, bumped)
+    assert server.reload() is True
+    assert seen["engine_during_calibration"] is old_engine
+    assert server._engine is not old_engine
+    after = np.asarray(server.lift(kp))
+    assert not np.allclose(after, before)

@@ -89,6 +89,44 @@ def test_batcher_propagates_errors():
     b.stop()
 
 
+def test_submit_relabels_backend_errors_as_server_side():
+    """A ValueError escaping the batcher is a SERVER failure (requests are
+    fully validated before submit) and must not reach the handler's
+    ValueError->400 mapping — it 400-blamed every co-batched rider for a
+    backend bug. _submit wraps it in BackendError (-> 500); ModelNotLoaded
+    (404) and ServerBusy (503) keep their routes."""
+    from bilinear_tpu.serving_http import (
+        BackendError,
+        ModelNotLoaded,
+        ServerBusy,
+        _submit,
+    )
+
+    def bad_backend(x):
+        raise ValueError("shape mismatch deep in the backend")
+
+    b = DynamicBatcher(bad_backend, n_inputs=1, max_delay_ms=1.0)
+    with pytest.raises(BackendError, match="ValueError: shape mismatch"):
+        _submit(b, np.zeros((1, 2), np.float32))
+    b.stop()
+
+    def not_loaded(x):
+        raise ModelNotLoaded("no lifting model is loaded")
+
+    b = DynamicBatcher(not_loaded, n_inputs=1, max_delay_ms=1.0)
+    with pytest.raises(ModelNotLoaded):
+        _submit(b, np.zeros((1, 2), np.float32))
+    b.stop()
+
+    def busy(x):
+        raise ServerBusy("retry later")
+
+    b = DynamicBatcher(busy, n_inputs=1, max_delay_ms=1.0)
+    with pytest.raises(ServerBusy):
+        _submit(b, np.zeros((1, 2), np.float32))
+    b.stop()
+
+
 def test_batcher_input_validation():
     b = DynamicBatcher(lambda x, y: (x,), n_inputs=2, max_delay_ms=1.0)
     with pytest.raises(ValueError, match="expected 2"):

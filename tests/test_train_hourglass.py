@@ -84,6 +84,33 @@ def test_pipeline_prefetch_thread_exits_on_early_abandon(mpii_root):
     assert not leaked, f"prefetch worker leaked: {leaked}"
 
 
+def test_pipeline_prefetch_sentinel_put_honors_abandon(mpii_root):
+    """Regression: the worker's TERMINAL puts (sentinel / error) must also
+    honor the stop flag. With the queue full right as the worker finishes
+    its last batch, the old unbounded q.put(sentinel) blocked forever after
+    the consumer abandoned the generator."""
+    import threading
+
+    anns = MPIIAnnotations(mpii_root, Task.Train)
+    pipe = MPIIHostPipeline(anns, batch_size=2, canvas=256)
+    pipe._index_batches = lambda epoch: [0, 1]  # exactly two batches
+    pipe._load = lambda b: b
+
+    before = set(threading.enumerate())
+    gen = pipe.epoch(0, prefetch=1)
+    next(gen)  # worker then loads batch 1 (queue full) and reaches the
+    # sentinel put while the queue still holds batch 1
+    time.sleep(0.3)
+    gen.close()
+    (worker,) = [
+        t for t in set(threading.enumerate()) - before
+        if t.name == "pipeline-prefetch"
+    ] or [None]
+    if worker is not None:
+        worker.join(timeout=10)
+        assert not worker.is_alive(), "sentinel put ignored the stop flag"
+
+
 def test_canvas_batch_contains_keypoints(mpii_root):
     anns = MPIIAnnotations(mpii_root, Task.Train)
     pipe = MPIIHostPipeline(anns, batch_size=4, canvas=256)
