@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platforms", nargs="*", default=None,
                    help="lowering targets, e.g. --platforms cpu tpu "
                         "(default: the current backend)")
+    p.add_argument("--quantize", default="", choices=["", "int8-static"],
+                   help="lifting only: export the calibrated static-scale "
+                        "int8 program (38M poses/sec on-chip vs 20-21M bf16)")
     p.add_argument("--batch-sizes", type=int, nargs="+", default=None,
                    help="fixed batch sizes; lifting default is one "
                         "symbolic-batch program, end2end default 1 8 64")
@@ -86,8 +89,14 @@ def main(argv=None) -> None:
             train.mean_part, train.std_part, train.mean_s, train.std_s,
             dtype=dtype, platforms=args.platforms,
             batch_sizes=args.batch_sizes,
+            quantize=args.quantize or None,
         )
     else:
+        if args.quantize:
+            raise SystemExit(
+                "--quantize applies to --kind lifting only (detector int8 "
+                "is measured NOT faster than bf16 on v5e — RESULTS.md)"
+            )
         from bilinear_tpu.train.end2end import End2EndTrainer
 
         model_kw = None
@@ -116,6 +125,7 @@ def main(argv=None) -> None:
     manifest = save_artifact(
         args.out, args.kind, programs,
         manifest_extra={"epoch": epoch, "dtype": args.dtype,
+                        "quantize": args.quantize or None,
                         "run_dir": os.path.abspath(args.run_dir)},
     )
     size = os.path.getsize(args.out)

@@ -62,25 +62,55 @@ def export_lifting(
     dtype=jnp.bfloat16,
     platforms: Optional[Sequence[str]] = None,
     batch_sizes: Optional[Sequence[int]] = None,
+    quantize: Optional[str] = None,
 ) -> Dict[str, jax_export.Exported]:
     """Export the full lifting serving computation — image-space (b, 16, 2)
     keypoints -> z-score with train-split stats -> BilinearUnit ->
     un-normalize -> (b, 16, 3) root-centered mm (serving.py::LiftingServer
     .lift semantics; protocol per /root/reference/valid_bilinear.py:51-54).
 
-    ``batch_sizes=None`` exports ONE program with a symbolic batch dim."""
-    from bilinear_tpu.models.bilinear import BilinearUnit
+    ``batch_sizes=None`` exports ONE program with a symbolic batch dim.
 
-    model = BilinearUnit(dtype=dtype)
-    variables = {"params": params, "batch_stats": batch_stats}
+    ``quantize="int8-static"`` exports the calibrated static-scale int8
+    forward instead (hidden layers as int8 dot_generals with the activation
+    scales baked in as constants — the only quantized mode with no
+    data-dependent scale math, hence the only symbolic-batch-exportable
+    one; dynamic ``"int8"`` and the Pallas kernels stay the in-process
+    LiftingServer's job)."""
     mean_p = jnp.asarray(np.asarray(mean_part).reshape(-1), jnp.float32)
     std_p = jnp.asarray(np.asarray(std_part).reshape(-1), jnp.float32)
     mean_3 = jnp.asarray(np.asarray(mean_s).reshape(-1), jnp.float32)
     std_3 = jnp.asarray(np.asarray(std_s).reshape(-1), jnp.float32)
 
+    if quantize == "int8-static":
+        from bilinear_tpu.ops.pallas.lifting_int8 import (
+            calibrate_scales,
+            int8_static_forward,
+            prepare_weights_int8,
+        )
+
+        prepared = prepare_weights_int8(params, batch_stats)
+        # Standard normal IS the serving input distribution: lift z-scores
+        # with the train stats first (same calibration as LiftingServer).
+        calib = jax.random.normal(jax.random.PRNGKey(0), (4096, 32))
+        forward = int8_static_forward(prepared, calibrate_scales(prepared, calib))
+    elif quantize is not None:
+        raise ValueError(
+            f"unsupported AOT quantize mode {quantize!r} (only 'int8-static' "
+            "has no data-dependent scale math to export)"
+        )
+    else:
+        from bilinear_tpu.models.bilinear import BilinearUnit
+
+        model = BilinearUnit(dtype=dtype)
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        def forward(x):
+            return model.apply(variables, x, train=False)
+
     def lift(kp):
         x = (kp.reshape(kp.shape[0], 32) - mean_p) / std_p
-        out = model.apply(variables, x, train=False)
+        out = forward(x)
         mm = out.astype(jnp.float32) * std_3 + mean_3
         return mm.reshape(kp.shape[0], 16, 3)
 

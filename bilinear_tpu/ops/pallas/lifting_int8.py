@@ -243,26 +243,27 @@ def _run_pallas(x, flat_weights, interpret: bool = False, tile: int = TILE,
     )(x, *flat_weights)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "static_scales"))
-def _run_xla(x, prepared, tile: int = TILE, static_scales=None):
-    """Same math as the kernel, straight-line XLA — oracle + fallback. The
-    per-TILE dynamic activation scale is reproduced exactly so both backends
-    are bit-comparable; with ``static_scales`` the same constants are baked
-    in instead (numerics then independent of ``tile``)."""
+def forward_chain(prepared, scales):
+    """The whole-network int8 forward as a plain XLA function over one
+    activation block: encode (bf16) -> 4 quantized hidden layers with
+    residual skips -> decode (bf16). ``scales`` entries are per-layer
+    activation scales (``None`` = dynamic per-block amax). Shared by the
+    ``backend="xla"`` oracle (per-tile, bit-comparable to the kernel) and
+    the symbolic-batch AOT export (static scales, no tiling)."""
     enc_w, enc_b = prepared["encode"]
     dec_w, dec_b = prepared["decode"]
-    sx = (None,) * 4 if static_scales is None else static_scales
+    (w0, s0, b0), (w1, s1, b1), (w2, s2, b2), (w3, s3, b3) = (
+        prepared["hidden"]
+    )
+    sx = scales
 
-    def tile_fn(xt):
+    def fwd(xt):
         h = jnp.dot(
             xt.astype(jnp.bfloat16), enc_w,
             preferred_element_type=jnp.float32,
         ) + enc_b
         h = jnp.maximum(h, 0.0)
         skip = h
-        (w0, s0, b0), (w1, s1, b1), (w2, s2, b2), (w3, s3, b3) = (
-            prepared["hidden"]
-        )
         h = _quant_dot(h, w0, s0, b0, s_x=sx[0])
         h = _quant_dot(h, w1, s1, b1, s_x=sx[1])
         h = h + skip
@@ -274,6 +275,29 @@ def _run_xla(x, prepared, tile: int = TILE, static_scales=None):
             h.astype(jnp.bfloat16), dec_w, preferred_element_type=jnp.float32
         ) + dec_b
 
+    return fwd
+
+
+def int8_static_forward(prepared, static_scales):
+    """Whole-batch straight-line forward with calibrated CONSTANT scales —
+    no Pallas, no tiling, no data-dependent scale math, which makes it
+    ``jax.export``-able with a symbolic batch dimension (io/aot.py's
+    quantized artifact). Static scales also make the numerics independent
+    of how rows are grouped, so this matches the tiled paths row-for-row."""
+    if any(s is None for s in static_scales):
+        raise ValueError("int8_static_forward needs all four scales fixed")
+    return forward_chain(prepared, tuple(static_scales))
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "static_scales"))
+def _run_xla(x, prepared, tile: int = TILE, static_scales=None):
+    """Same math as the kernel, straight-line XLA — oracle + fallback. The
+    per-TILE dynamic activation scale is reproduced exactly so both backends
+    are bit-comparable; with ``static_scales`` the same constants are baked
+    in instead (numerics then independent of ``tile``)."""
+    tile_fn = forward_chain(
+        prepared, (None,) * 4 if static_scales is None else static_scales
+    )
     n = x.shape[0]
     xt = x.reshape(n // tile, tile, IN_F)
     return jax.lax.map(tile_fn, xt).reshape(n, OUT_F)

@@ -268,3 +268,66 @@ def test_single_fixed_size_serves_any_n(setup, tmp_path):
     # 6 = 4 + tail 2 -> padded to 4: fine. Sizes (4,) always fit any n.
     out = pose(tr.raw_part[:6].reshape(6, 16, 2))
     assert out.shape == (6, 16, 3)
+
+
+def test_int8_static_artifact_matches_live_server(setup, tmp_path):
+    """quantize="int8-static" exports the calibrated static-scale int8
+    program with a SYMBOLIC batch (no data-dependent scale math). The
+    artifact must reproduce the live LiftingServer's int8-static outputs —
+    static scales make both paths tile/grouping independent — and reject
+    the dynamic mode, whose per-tile amax cannot be exported symbolically."""
+    from bilinear_tpu.serving import LiftingServer
+
+    _, splits, _, state = setup
+    tr = splits[Task.Train]
+    programs = export_lifting(
+        state.params, state.batch_stats,
+        tr.mean_part, tr.std_part, tr.mean_s, tr.std_s,
+        quantize="int8-static",
+    )
+    assert set(programs) == {"sym"}
+    path = str(tmp_path / "lift_i8s.aot")
+    save_artifact(path, "lifting", programs,
+                  manifest_extra={"epoch": 3, "quantize": "int8-static"})
+    pose = load_artifact(path)
+    assert pose.manifest["quantize"] == "int8-static"
+
+    live = LiftingServer(
+        state.params, state.batch_stats,
+        tr.mean_part, tr.std_part, tr.mean_s, tr.std_s,
+        interpret=True, quantize="int8-static",
+    )
+    for n in (1, 5, 33):
+        kp = tr.raw_part[:n].reshape(n, 16, 2)
+        got = pose(kp)
+        want = np.asarray(live.lift(kp))
+        assert got.shape == (n, 16, 3)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+    with pytest.raises(ValueError, match="int8-static"):
+        export_lifting(
+            state.params, state.batch_stats,
+            tr.mean_part, tr.std_part, tr.mean_s, tr.std_s,
+            quantize="int8",
+        )
+
+
+def test_cli_export_aot_int8_static(setup, tmp_path):
+    from bilinear_tpu.cli.export_aot import main
+
+    d, splits, run_dir, state = setup
+    out = str(tmp_path / "cli_i8s.aot")
+    main([
+        "--kind", "lifting", "--run-dir", run_dir, "--data-dir", d,
+        "--out", out, "--quantize", "int8-static",
+    ])
+    pose = load_artifact(out)
+    assert pose.manifest["quantize"] == "int8-static"
+    tr = splits[Task.Train]
+    kp = tr.raw_part[:6].reshape(6, 16, 2)
+    # int8 quantization noise vs the float oracle is bounded by the same
+    # envelope the accuracy gate in tests/test_lifting_int8.py measures.
+    want = _lift_oracle(state, tr, kp)
+    got = pose(kp)
+    scale = np.abs(want).mean()
+    assert np.abs(got - want).mean() < 0.05 * scale
