@@ -19,7 +19,11 @@ import numpy as np
 
 from bilinear_tpu.config import BilinearConfig, parse_config
 from bilinear_tpu.data.h36m import Task, load_h36m
-from bilinear_tpu.io.checkpoint import resume_or_init, save_checkpoint
+from bilinear_tpu.io.checkpoint import (
+    prune_checkpoints,
+    resume_or_init,
+    save_checkpoint,
+)
 from bilinear_tpu.io.logger import get_logger
 from bilinear_tpu.io.tensorboard import TBWriter
 from bilinear_tpu.parallel import mesh as mesh_lib
@@ -72,6 +76,7 @@ def main(argv=None) -> None:
         if not primary:
             return
         save_checkpoint(parameter_dir, epoch, st)
+        prune_checkpoints(parameter_dir, cfg.keep_checkpoints, cfg.keep_every)
         # Per-step scalars, matching the reference's granularity
         # (train_bilinear.py:86). The loss array is already on host after
         # one fetch; steps for this epoch end at st.step.

@@ -19,6 +19,7 @@ from bilinear_tpu.data.pipeline import MPIIHostPipeline
 from bilinear_tpu.io.checkpoint import (
     latest_epoch,
     load_checkpoint,
+    prune_checkpoints,
     resume_or_init,
     save_checkpoint,
 )
@@ -99,6 +100,7 @@ def main(argv=None) -> None:
                 jax.random.fold_in(rng, epoch),
             )
         save_checkpoint(parameter_dir, epoch, state)
+        prune_checkpoints(parameter_dir, cfg.keep_checkpoints, cfg.keep_every)
         writer.scalar("E2E/loss", float(loss), int(state.step))
         writer.scalar("E2E/heatmap", float(hm_loss), int(state.step))
         writer.scalar("E2E/3d", float(loss_3d), int(state.step))

@@ -19,7 +19,11 @@ from bilinear_tpu.config import HourglassFTConfig, parse_config
 from bilinear_tpu.data.h36m import Task, load_h36m
 from bilinear_tpu.data.h36m_images import H36MImageRecords
 from bilinear_tpu.data.pipeline import MPIIHostPipeline
-from bilinear_tpu.io.checkpoint import resume_or_init, save_checkpoint
+from bilinear_tpu.io.checkpoint import (
+    prune_checkpoints,
+    resume_or_init,
+    save_checkpoint,
+)
 from bilinear_tpu.io.logger import get_logger
 from bilinear_tpu.io.tensorboard import TBWriter
 from bilinear_tpu.ops.joints import FROM_H36M_TO_MPII
@@ -75,6 +79,7 @@ def main(argv=None) -> None:
         if not primary:
             continue  # checkpoint/TB/log are primary-only artifacts
         save_checkpoint(parameter_dir, epoch, state)
+        prune_checkpoints(parameter_dir, cfg.keep_checkpoints, cfg.keep_every)
         writer.scalar("FT/loss", float(loss), int(state.step))
         logger.info("Epoch %d saved (loss: %f)", epoch, float(loss))
     writer.close()

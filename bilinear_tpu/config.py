@@ -40,6 +40,10 @@ class BilinearConfig:
     seed: int = 0
     dtype: str = "float32"  # "bfloat16" for MXU-native training
     profile: bool = False  # write a jax.profiler trace under the run dir
+    keep_checkpoints: int = 0  # prune to the newest N epoch checkpoints
+    # after each save (0 = keep all, the reference's behavior); resume only
+    # reads the newest epoch so the restart contract is unaffected
+    keep_every: int = 0  # additionally keep every N-th epoch as a milestone
     # Multi-host bring-up (SURVEY.md §5; parallel/mesh.py::init_distributed).
     # Set --coordinator host:port plus --num-processes/--process-id on every
     # process; jax.devices() then spans the full slice and training runs DP
@@ -79,6 +83,9 @@ class HourglassConfig:
     depth: int = 4
     fused_blocks: bool = False  # Pallas whole-block ResModules (torch7 only;
     # same checkpoint tree, VMEM-resident fwd+bwd — ops/pallas/resmodule.py)
+    keep_checkpoints: int = 0  # prune to the newest N epoch checkpoints
+    # after each save (0 = keep all; ~300 MB/epoch at production size)
+    keep_every: int = 0  # additionally keep every N-th epoch as a milestone
     # Multi-host bring-up (see BilinearConfig.coordinator).
     coordinator: str = ""
     num_processes: int = 1

@@ -142,6 +142,52 @@ def latest_epoch(parameter_dir: Optional[str]) -> int:
     return best
 
 
+def prune_checkpoints(parameter_dir: str, keep_last: int,
+                      keep_every: int = 0) -> list:
+    """Delete old epoch checkpoints, keeping the newest ``keep_last``
+    epochs, every ``keep_every``-th epoch as a milestone (when set), the
+    ``-1`` finalized sentinel, and anything that is not an epoch
+    checkpoint. ``keep_last <= 0`` keeps everything — the reference's
+    behavior and the default. Returns the removed paths.
+
+    Why: production-size states are ~300 MB, so a full hourglass.sh budget
+    run (20x10 epochs) accumulates ~60 GB of checkpoints the reference
+    never cleans up. Pruning preserves the restart contract because resume
+    only ever reads the NEWEST epoch (model/bilinear.py:63-83); both the
+    pickle and orbax backends are covered."""
+    if keep_last <= 0 or not os.path.isdir(parameter_dir):
+        return []
+    epochs: Dict[int, list] = {}
+    for fname in os.listdir(parameter_dir):
+        stem, _, ext = fname.partition(".")
+        if ext not in ("save", "orbax"):
+            continue
+        try:
+            e = int(stem)
+        except ValueError:
+            continue
+        if e == FINALIZED_EPOCH:
+            continue
+        epochs.setdefault(e, []).append(os.path.join(parameter_dir, fname))
+
+    keep = set(sorted(epochs)[-keep_last:])
+    if keep_every > 0:
+        keep |= {e for e in epochs if e % keep_every == 0}
+    removed = []
+    for e, paths in epochs.items():
+        if e in keep:
+            continue
+        for p in paths:
+            if os.path.isdir(p):  # orbax checkpoint directory
+                import shutil
+
+                shutil.rmtree(p)
+            else:
+                os.remove(p)
+            removed.append(p)
+    return removed
+
+
 def load_checkpoint(parameter_dir: str, epoch: int) -> Dict[str, Any]:
     """Load ``{epoch}.save`` (preferred) or ``{epoch}.orbax`` — whichever
     backend wrote that epoch — so auto-resume holds for both."""

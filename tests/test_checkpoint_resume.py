@@ -7,6 +7,8 @@
   including RMSprop state and cumulative-BN statistics (the bilinear side had
   this; the hourglass side didn't).
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -180,3 +182,78 @@ def test_concurrent_checkpoint_writers_do_not_race(tmp_path):
     # no tmp litter left behind
     leftovers = [f for f in _os.listdir(pdir) if ".tmp" in f]
     assert leftovers == []
+
+
+def test_prune_checkpoints_retention(tmp_path):
+    """prune_checkpoints keeps the newest N epochs, keep_every milestones,
+    the -1 finalized sentinel, and foreign files; keep_last=0 is a no-op
+    (the reference's keep-everything behavior). Resume still finds the
+    newest epoch afterwards."""
+    from types import SimpleNamespace
+
+    from bilinear_tpu.io.checkpoint import prune_checkpoints
+
+    pdir = str(tmp_path / "parameter")
+    state = SimpleNamespace(
+        step=1, params={"w": np.zeros(4, np.float32)}, batch_stats={},
+        opt_state={},
+    )
+    for epoch in range(1, 11):
+        save_checkpoint(pdir, epoch, state)
+    save_checkpoint(pdir, -1, state)  # finalized sentinel
+    (tmp_path / "parameter" / "notes.txt").write_text("keep me")
+
+    assert prune_checkpoints(pdir, 0) == []  # default: keep all
+    assert latest_epoch(pdir) == 10
+
+    removed = prune_checkpoints(pdir, 3, keep_every=5)
+    kept = sorted(
+        int(f.split(".")[0]) for f in os.listdir(pdir)
+        if f.endswith(".save")
+    )
+    # newest 3 = {8, 9, 10}; milestones {5, 10}; sentinel -1.
+    assert kept == [-1, 5, 8, 9, 10]
+    assert len(removed) == 6
+    assert (tmp_path / "parameter" / "notes.txt").exists()
+    assert latest_epoch(pdir) == 10  # resume contract intact
+
+
+def test_prune_checkpoints_covers_orbax(tmp_path):
+    """Orbax checkpoint directories participate in pruning like pickles."""
+    from types import SimpleNamespace
+
+    from bilinear_tpu.io.checkpoint import prune_checkpoints
+
+    pdir = str(tmp_path / "parameter")
+    state = SimpleNamespace(
+        step=1, params={"w": np.zeros(4, np.float32)}, batch_stats={},
+        opt_state={},
+    )
+    for epoch in (1, 2, 3):
+        save_checkpoint_orbax(pdir, epoch, state)
+    prune_checkpoints(pdir, 1)
+    left = sorted(f for f in os.listdir(pdir) if f.endswith(".orbax"))
+    assert left == ["3.orbax"]
+    assert latest_epoch(pdir) == 3
+
+
+def test_train_cli_keep_checkpoints(tmp_path, monkeypatch):
+    """--keep-checkpoints prunes after each save in the bilinear train CLI;
+    the run still resumes from the newest epoch on the next invocation."""
+    from bilinear_tpu.cli.train_bilinear import main
+    from bilinear_tpu.data.synthetic import write_h36m_dataset
+
+    d = str(tmp_path / "Human3.6M")
+    write_h36m_dataset(d, n_train=64, n_valid=16)
+    monkeypatch.chdir(tmp_path)
+    args = ["--data-dir", d, "--epochs-per-run", "3", "--batch-size", "32",
+            "--keep-checkpoints", "2"]
+    main(args)
+    pdir = tmp_path / "save" / "Bilinear GT" / "parameter"
+    kept = sorted(int(f.split(".")[0]) for f in os.listdir(pdir)
+                  if f.endswith(".save"))
+    assert kept == [2, 3]
+    main(args)  # resumes from 3, trains 4-6, prunes to {5, 6}
+    kept = sorted(int(f.split(".")[0]) for f in os.listdir(pdir)
+                  if f.endswith(".save"))
+    assert kept == [5, 6]
