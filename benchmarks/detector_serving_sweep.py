@@ -2,7 +2,7 @@
 
 RESULTS.md quotes the reference-protocol batch 8 (2.72 ms, 2940 FPS, 64%
 MFU). Serving is free to pick its own batch — End2EndServer pads requests
-to compiled sizes {1, 8, 64} — so this measures where the conv stack's
+to compiled sizes (default {1, 8, 16}) — so this measures where the conv stack's
 throughput actually peaks, on-chip, with the validated harness.
 
 FLOPs: XLA cost analysis of the batch-8 eval forward is 342 GFLOP

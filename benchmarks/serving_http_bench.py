@@ -77,7 +77,7 @@ def main() -> None:
         lift_dir, tr, quantize=quant, interpret=args.tiny
     )
     end2end = End2EndServer.from_run_dir(
-        e2e_dir, tr, batch_sizes=(1, 8, 64), quantize=quant,
+        e2e_dir, tr, batch_sizes=(1, 8, 16), quantize=quant,
         model_kw=model_kw,
         **(dict(dtype=jnp.float32) if args.tiny else {}),
     )

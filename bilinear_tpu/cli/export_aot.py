@@ -15,7 +15,7 @@ Usage:
   # fused frame->3D at the serving batch sizes:
   python -m bilinear_tpu.cli.export_aot --kind end2end \
       --run-dir save/End2End --data-dir data/Human3.6M \
-      --out end2end.aot --batch-sizes 1 8 64
+      --out end2end.aot --batch-sizes 1 8 16
 """
 from __future__ import annotations
 
@@ -55,7 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "int8 program (38M poses/sec on-chip vs 20-21M bf16)")
     p.add_argument("--batch-sizes", type=int, nargs="+", default=None,
                    help="fixed batch sizes; lifting default is one "
-                        "symbolic-batch program, end2end default 1 8 64")
+                        "symbolic-batch program, end2end default 1 8 16")
     p.add_argument("--n-stacks", type=int, default=0,
                    help="override hourglass size (0 = production 8/256/4)")
     p.add_argument("--features", type=int, default=256)
@@ -118,7 +118,7 @@ def main(argv=None) -> None:
             {"params": state.params, "batch_stats": state.batch_stats},
             train.mean_part, train.std_part, train.mean_s, train.std_s,
             variant=args.variant, dtype=dtype, model_kw=model_kw,
-            batch_sizes=args.batch_sizes or (1, 8, 64),
+            batch_sizes=args.batch_sizes or (1, 8, 16),
             platforms=args.platforms,
         )
 

@@ -157,7 +157,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["", "int8", "int8-static"])
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8900)
-    p.add_argument("--batch-sizes", type=int, nargs="+", default=[1, 8, 64])
+    p.add_argument("--batch-sizes", type=int, nargs="+", default=[1, 8, 16],
+                   help="compiled end2end sizes; 16 is the measured "
+                        "conv-stack throughput peak "
+                        "(benchmarks/detector_serving_sweep.py), >=32 "
+                        "loses ~30%% to layout/HBM pressure")
     p.add_argument("--max-delay-ms", type=float, default=2.0)
     p.add_argument("--max-rows", type=int, default=256)
     p.add_argument("--max-pending-rows", type=int, default=8192,

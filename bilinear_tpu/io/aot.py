@@ -135,7 +135,7 @@ def export_end2end(
     variant: str = "torch7",
     dtype=jnp.bfloat16,
     model_kw: Optional[dict] = None,
-    batch_sizes: Sequence[int] = (1, 8, 64),
+    batch_sizes: Sequence[int] = (1, 8, 16),
     platforms: Optional[Sequence[str]] = None,
 ) -> Dict[str, jax_export.Exported]:
     """Export the fused frame->3D program — (b, 256, 256, 3) frames in

@@ -284,7 +284,7 @@ class End2EndServer:
         std_s,
         variant: str = "torch7",
         dtype=jnp.bfloat16,
-        batch_sizes: Sequence[int] = (1, 8, 64),
+        batch_sizes: Sequence[int] = (1, 8, 16),
         model_kw: Optional[dict] = None,
         parameter_dir: Optional[str] = None,
         epoch: int = 0,
