@@ -83,16 +83,23 @@ def main() -> None:
     )
     server = PoseHTTPServer(
         lifting=lifting, end2end=end2end, port=0, max_delay_ms=2.0,
-        max_rows=4096 * 8,
+        max_rows=4096 * 8, max_pending_rows=args.lift_rows * args.clients,
     )
     server.start()
-    client = PoseClient(f"http://{server.host}:{server.port}", timeout=600)
+    # Backpressure-aware client: a 503 from admission control is flow
+    # control for a load generator, not failure — retry per Retry-After.
+    client = PoseClient(f"http://{server.host}:{server.port}", timeout=600,
+                        busy_retries=1000, busy_backoff=0.2)
 
     # Warm every compiled size through the daemon itself.
     kp = (np.random.RandomState(0).rand(args.lift_rows, 16, 2) * 200).astype(
         np.float32
     )
-    frames = np.random.RandomState(1).rand(8, 256, 256, 3).astype(np.float32)
+    # uint8 frames: the realistic camera wire format, 4x fewer bytes than
+    # f32 over HTTP and the tunnel (the daemon rescales on device).
+    frames = (np.random.RandomState(1).rand(8, 256, 256, 3) * 255).astype(
+        np.uint8
+    )
     client.lift(kp)
     client.pose(frames)
     client.pose(frames[:1])

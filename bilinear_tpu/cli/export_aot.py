@@ -122,9 +122,16 @@ def main(argv=None) -> None:
             platforms=args.platforms,
         )
 
+    # The int8-static program fixes its own dtypes (int8 hidden layers,
+    # bf16 encode/decode); recording the user's --dtype would mislabel it.
+    dtype_recorded = "int8/bfloat16" if args.quantize else args.dtype
+    if args.quantize and args.dtype == "float32":
+        log.warning("--dtype float32 has no effect with --quantize %s "
+                    "(encode/decode are bf16, hidden layers int8)",
+                    args.quantize)
     manifest = save_artifact(
         args.out, args.kind, programs,
-        manifest_extra={"epoch": epoch, "dtype": args.dtype,
+        manifest_extra={"epoch": epoch, "dtype": dtype_recorded,
                         "quantize": args.quantize or None,
                         "run_dir": os.path.abspath(args.run_dir)},
     )

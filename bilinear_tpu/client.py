@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import io
 import json
+import time
 import urllib.error
 import urllib.request
 from typing import Optional, Tuple
@@ -39,11 +40,21 @@ class PoseClient:
     ``timeout`` is per request, in seconds. A compiled cold program on the
     server side can take tens of seconds on first dispatch; keep the
     default generous or warm the server first.
+
+    ``busy_retries``: how many times to retry a 503 (the daemon's
+    admission control saying "backlog full, retry later") before raising.
+    Each retry sleeps the server's ``Retry-After`` header (or
+    ``busy_backoff`` seconds when absent). Default 0 surfaces the 503
+    immediately — opt in for batch/offline clients that should treat
+    backpressure as flow control rather than failure.
     """
 
-    def __init__(self, base_url: str, timeout: float = 120.0):
+    def __init__(self, base_url: str, timeout: float = 120.0,
+                 busy_retries: int = 0, busy_backoff: float = 1.0):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.busy_retries = busy_retries
+        self.busy_backoff = busy_backoff
 
     # -------------------------------------------------------------- http
     def _request(
@@ -59,16 +70,27 @@ class PoseClient:
             headers={"Content-Type": ctype} if body is not None else {},
             method=method,
         )
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                return r.read(), r.headers.get("Content-Type", "")
-        except urllib.error.HTTPError as e:
-            raw = e.read()
+        for attempt in range(self.busy_retries + 1):
             try:
-                message = json.loads(raw).get("error", raw.decode())
-            except Exception:
-                message = raw.decode(errors="replace")
-            raise ServerError(e.code, message) from None
+                with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                    return r.read(), r.headers.get("Content-Type", "")
+            except urllib.error.HTTPError as e:
+                raw = e.read()
+                try:
+                    message = json.loads(raw).get("error", raw.decode())
+                except Exception:
+                    message = raw.decode(errors="replace")
+                if e.code == 503 and attempt < self.busy_retries:
+                    try:
+                        delay = float(
+                            e.headers.get("Retry-After") or self.busy_backoff
+                        )
+                    except ValueError:
+                        delay = self.busy_backoff
+                    time.sleep(delay)
+                    continue
+                raise ServerError(e.code, message) from None
+        raise AssertionError("unreachable")
 
     # ------------------------------------------------------------ routes
     def health(self) -> dict:

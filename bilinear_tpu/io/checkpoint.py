@@ -124,22 +124,29 @@ def load_checkpoint_orbax(parameter_dir: str, epoch: int):
         return ckptr.restore(path)
 
 
+def _epoch_files(parameter_dir: Optional[str]):
+    """Yield ``(epoch, path)`` for every epoch checkpoint in the dir —
+    ``{epoch}.save`` pickles and ``{epoch}.orbax`` directories. The one
+    place the filename contract lives; latest_epoch and prune_checkpoints
+    must agree on it or resume and pruning drift apart."""
+    if not (parameter_dir and os.path.isdir(parameter_dir)):
+        return
+    for fname in os.listdir(parameter_dir):
+        stem, _, ext = fname.partition(".")
+        if ext not in ("save", "orbax"):
+            continue
+        try:
+            e = int(stem)
+        except ValueError:
+            continue
+        yield e, os.path.join(parameter_dir, fname)
+
+
 def latest_epoch(parameter_dir: Optional[str]) -> int:
     """Max integer epoch present, 0 if none (the reference's resume scan,
     model/bilinear.py:63-83). Both backends participate: ``{epoch}.save``
     pickles and ``{epoch}.orbax`` checkpoint directories."""
-    best = 0
-    if parameter_dir and os.path.isdir(parameter_dir):
-        for fname in os.listdir(parameter_dir):
-            stem, _, ext = fname.partition(".")
-            if ext not in ("save", "orbax"):
-                continue
-            try:
-                e = int(stem)
-            except ValueError:
-                continue
-            best = max(best, e)
-    return best
+    return max((e for e, _ in _epoch_files(parameter_dir)), default=0)
 
 
 def prune_checkpoints(parameter_dir: str, keep_last: int,
@@ -150,27 +157,25 @@ def prune_checkpoints(parameter_dir: str, keep_last: int,
     checkpoint. ``keep_last <= 0`` keeps everything — the reference's
     behavior and the default. Returns the removed paths.
 
+    ``keep_every`` alone (keep_last <= 0) is also honored: milestones plus
+    the newest epoch are kept, everything else pruned.
+
     Why: production-size states are ~300 MB, so a full hourglass.sh budget
     run (20x10 epochs) accumulates ~60 GB of checkpoints the reference
     never cleans up. Pruning preserves the restart contract because resume
     only ever reads the NEWEST epoch (model/bilinear.py:63-83); both the
     pickle and orbax backends are covered."""
-    if keep_last <= 0 or not os.path.isdir(parameter_dir):
+    if keep_last <= 0 and keep_every <= 0:
         return []
     epochs: Dict[int, list] = {}
-    for fname in os.listdir(parameter_dir):
-        stem, _, ext = fname.partition(".")
-        if ext not in ("save", "orbax"):
-            continue
-        try:
-            e = int(stem)
-        except ValueError:
-            continue
+    for e, path in _epoch_files(parameter_dir):
         if e == FINALIZED_EPOCH:
             continue
-        epochs.setdefault(e, []).append(os.path.join(parameter_dir, fname))
+        epochs.setdefault(e, []).append(path)
 
-    keep = set(sorted(epochs)[-keep_last:])
+    # The newest epoch is always kept (resume reads it), even in
+    # milestone-only mode.
+    keep = set(sorted(epochs)[-max(keep_last, 1):])
     if keep_every > 0:
         keep |= {e for e in epochs if e % keep_every == 0}
     removed = []

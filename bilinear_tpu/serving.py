@@ -212,7 +212,13 @@ class LiftingServer:
         newest = latest_epoch(self.parameter_dir)
         if newest <= self.epoch:
             return False
-        payload = load_checkpoint(self.parameter_dir, newest)
+        try:
+            payload = load_checkpoint(self.parameter_dir, newest)
+        except FileNotFoundError:
+            # Scan/load race with a trainer pruning old checkpoints
+            # (--keep-checkpoints): the epoch we scanned was deleted before
+            # we opened it. The next poll sees the newer one.
+            return False
         state = restore_state(self._template, payload)
         self._set_weights(state.params, state.batch_stats)
         self.epoch = newest
@@ -398,7 +404,11 @@ class End2EndServer:
         newest = latest_epoch(self.parameter_dir)
         if newest <= self.epoch:
             return False
-        payload = load_checkpoint(self.parameter_dir, newest)
+        try:
+            payload = load_checkpoint(self.parameter_dir, newest)
+        except FileNotFoundError:
+            # Scan/load race with a pruning trainer (see LiftingServer).
+            return False
         state = restore_state(self._template, payload)
         self._variables = {
             "params": state.params, "batch_stats": state.batch_stats

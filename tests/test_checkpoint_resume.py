@@ -257,3 +257,23 @@ def test_train_cli_keep_checkpoints(tmp_path, monkeypatch):
     kept = sorted(int(f.split(".")[0]) for f in os.listdir(pdir)
                   if f.endswith(".save"))
     assert kept == [5, 6]
+
+
+def test_prune_checkpoints_milestone_only(tmp_path):
+    """keep_every alone (keep_last <= 0) must prune too — it previously
+    no-op'd silently — keeping the milestones plus the newest epoch."""
+    from types import SimpleNamespace
+
+    from bilinear_tpu.io.checkpoint import prune_checkpoints
+
+    pdir = str(tmp_path / "parameter")
+    state = SimpleNamespace(
+        step=1, params={"w": np.zeros(4, np.float32)}, batch_stats={},
+        opt_state={},
+    )
+    for epoch in range(1, 13):
+        save_checkpoint(pdir, epoch, state)
+    prune_checkpoints(pdir, 0, keep_every=5)
+    kept = sorted(int(f.split(".")[0]) for f in os.listdir(pdir)
+                  if f.endswith(".save"))
+    assert kept == [5, 10, 12]  # milestones + the newest (resume target)

@@ -253,3 +253,29 @@ def test_int8_static_reload_publishes_engine_atomically(
     assert server._engine is not old_engine
     after = np.asarray(server.lift(kp))
     assert not np.allclose(after, before)
+
+
+def test_reload_survives_pruned_checkpoint_race(setup, tmp_path, monkeypatch):
+    """A trainer with --keep-checkpoints can delete the epoch reload() just
+    scanned (TOCTOU between latest_epoch and load_checkpoint). reload()
+    must return False and keep serving the old weights instead of raising
+    through the poll thread / POST /admin/reload."""
+    import bilinear_tpu.serving as serving_mod
+
+    _, splits, _, state = setup
+    tr = splits[Task.Train]
+    run_dir = str(tmp_path / "run")
+    save_checkpoint(run_dir + "/parameter", 1, state)
+    server, _ = LiftingServer.from_run_dir(
+        run_dir, tr, dtype=jnp.float32, interpret=True
+    )
+    save_checkpoint(run_dir + "/parameter", 2, state)
+
+    def vanished(parameter_dir, epoch):
+        raise FileNotFoundError(f"{epoch}.save pruned between scan and load")
+
+    monkeypatch.setattr(serving_mod, "load_checkpoint", vanished)
+    assert server.reload() is False
+    assert server.epoch == 1
+    monkeypatch.undo()
+    assert server.reload() is True and server.epoch == 2

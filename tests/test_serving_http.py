@@ -562,3 +562,46 @@ def test_serve_cli_build(daemon, tmp_path):
         assert mm.shape == (3, 16, 3) and np.isfinite(mm).all()
     finally:
         srv.stop()
+
+
+def test_client_retries_503_with_backpressure():
+    """PoseClient(busy_retries=N) treats admission-control 503s as flow
+    control: it sleeps Retry-After and retries instead of raising — so a
+    load generator or offline batch client rides out a full backlog.
+    Default (busy_retries=0) still surfaces the 503 immediately."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from bilinear_tpu.client import PoseClient, ServerError
+
+    codes = [503, 503, 200]
+
+    class _Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            code = codes.pop(0)
+            body = (json.dumps({"status": "ok"}) if code == 200
+                    else json.dumps({"error": "retry later"})).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            if code == 503:
+                self.send_header("Retry-After", "0.05")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        assert PoseClient(url, busy_retries=5).health() == {"status": "ok"}
+        assert codes == []  # both 503s were consumed by retries
+
+        codes.extend([503, 200])
+        with pytest.raises(ServerError) as e:
+            PoseClient(url).health()  # default: no retry
+        assert e.value.status == 503
+    finally:
+        srv.shutdown()
