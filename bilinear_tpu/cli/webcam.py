@@ -34,6 +34,10 @@ def build_forward(variant: str, save_root: str, comment: str, seed: int = 0):
     state, epoch = resume_or_init(
         template, os.path.join(save_root, comment, "parameter")
     )
+    # Pin the restored (numpy) weights on device once — per-FRAME dispatch
+    # would otherwise re-upload the whole tree every frame (seconds/frame
+    # at production size on a slow host link; see eval/pckh.py).
+    state = jax.device_put(state)
     model = trainer.model
 
     @jax.jit

@@ -37,7 +37,12 @@ def convert_gt_to_sh(
     canvas: int = 512,
 ) -> Dict[str, str]:
     """Returns {task: written_bin_path}."""
+    import jax
+
     splits = load_h36m(data_dir, "GT")
+    # Pin weights on device once — the conversion loops over the whole
+    # dataset and numpy trees re-upload per batch (see eval/pckh.py).
+    variables = jax.device_put(variables)
     step = make_export_step(model)
     written = {}
     for task in tasks:

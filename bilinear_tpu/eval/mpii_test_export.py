@@ -75,6 +75,9 @@ def export_predictions(
     """Write one txt per test rect; returns the number of rects exported."""
     os.makedirs(prediction_dir, exist_ok=True)
     pipeline = MPIIHostPipeline(annotations, batch_size, canvas=canvas, pad=True)
+    # Pin weights on device once (see eval/pckh.py — numpy trees re-upload
+    # per batch otherwise).
+    variables = jax.device_put(variables)
     step = make_export_step(model)
     exported = 0
     for batch in pipeline.epoch(0):

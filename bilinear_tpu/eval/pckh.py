@@ -66,6 +66,11 @@ def evaluate_pckh(
 ) -> Tuple[Dict[str, float], float]:
     """Returns ({joint_name: PCKh%}, average%). ``pipeline`` must be padded
     (static shapes); padded slots are masked via batch.index == -1."""
+    # Pin the weights on device ONCE: callers typically hold checkpoint-
+    # restored numpy trees, and passing those into the jitted step re-ships
+    # every leaf on EVERY batch (measured seconds per dispatch for the 25M-
+    # param detector through a slow host link; free if already on device).
+    variables = jax.device_put(variables)
     step = make_pckh_step(model, threshold)
     hit = np.zeros(14, np.int64)
     total = np.zeros(14, np.int64)

@@ -47,6 +47,10 @@ def make_recalibrate_step(model):
 
 def recalibrate(model, params, batch_stats, pipeline, max_batches=None):
     """Reset and rebuild batch_stats over the (augment=False) train split."""
+    # One device transfer up front — a numpy params tree (the usual
+    # checkpoint-restored form) would otherwise re-upload on every batch of
+    # the recalibration pass (see eval/pckh.py).
+    params = jax.device_put(params)
     stats = reset_batch_stats(batch_stats)
     step = make_recalibrate_step(model)
     for i, batch in enumerate(pipeline.epoch(0)):

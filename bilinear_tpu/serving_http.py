@@ -85,12 +85,20 @@ class DynamicBatcher:
         max_delay_ms: float = 2.0,
         max_rows: int = 256,
         max_pending_rows: int = 8192,
+        coerce: Optional[dict] = None,
     ):
         """``max_pending_rows`` bounds the queue (admission control): a
         request that would push the total queued rows past it is rejected
-        with ServerBusy instead of growing the backlog without bound."""
+        with ServerBusy instead of growing the backlog without bound.
+
+        ``coerce``: optional ``{input_index: fn(list_of_arrays) -> list}``
+        applied before concatenating that input across riders — the hook
+        for reconciling riders whose arrays need a common dtype (e.g. a
+        mixed uint8/f32 frame batch) without forcing the conversion on
+        every request."""
         self._fn = fn
         self._n_inputs = n_inputs
+        self._coerce = coerce or {}
         self._max_delay = max_delay_ms / 1000.0
         self._max_rows = max_rows
         self._max_pending = max_pending_rows
@@ -170,10 +178,13 @@ class DynamicBatcher:
                 return
             try:
                 t0 = time.monotonic()
-                joined = tuple(
-                    np.concatenate([r.arrays[i] for r in batch], axis=0)
-                    for i in range(self._n_inputs)
-                )
+                joined = []
+                for i in range(self._n_inputs):
+                    arrs = [r.arrays[i] for r in batch]
+                    if i in self._coerce:
+                        arrs = self._coerce[i](arrs)
+                    joined.append(np.concatenate(arrs, axis=0))
+                joined = tuple(joined)
                 outs = self._fn(*joined)
                 if not isinstance(outs, tuple):
                     outs = (outs,)
@@ -363,11 +374,13 @@ class _Handler(BaseHTTPRequestHandler):
             raise ValueError(f"centers must be ({n}, 2), got {centers.shape}")
         if scales.shape != (n,):
             raise ValueError(f"scales must be ({n},), got {scales.shape}")
-        if frames.dtype == np.uint8:
-            frames = frames.astype(np.float32) / 255.0
+        if frames.dtype != np.uint8:
+            # uint8 stays uint8 through the batcher and to the device (4x
+            # fewer transfer bytes; the backend rescales in-program). The
+            # batcher's frame coercer handles a mixed u8/f32 batch.
+            frames = frames.astype(np.float32)
         pose2d, pose3d = _submit(
-            self.service.pose_batcher,
-            frames.astype(np.float32), centers, scales,
+            self.service.pose_batcher, frames, centers, scales,
         )
         self._send(
             200,
@@ -425,9 +438,24 @@ class PoseHTTPServer:
             lift_fn, n_inputs=1, max_delay_ms=max_delay_ms,
             max_rows=max_rows, max_pending_rows=max_pending_rows,
         )
+        def coerce_frames(arrs):
+            # A homogeneous batch keeps its dtype (uint8 ships 4x fewer
+            # bytes to the device); a mixed u8/f32 batch must NOT be left
+            # to np.concatenate's promotion, which would feed 0-255 u8
+            # values to the [0,1]-float program — normalize u8 riders to
+            # f32/255 first (bitwise-identical to the device rescale).
+            if len({a.dtype for a in arrs}) == 1:
+                return arrs
+            return [
+                a.astype(np.float32) / 255.0 if a.dtype == np.uint8
+                else a.astype(np.float32)
+                for a in arrs
+            ]
+
         self.pose_batcher = DynamicBatcher(
             pose_fn, n_inputs=3, max_delay_ms=max_delay_ms,
             max_rows=max_rows, max_pending_rows=max_pending_rows,
+            coerce={0: coerce_frames},
         )
 
         handler = type("BoundHandler", (_Handler,), {"service": self})

@@ -605,3 +605,41 @@ def test_client_retries_503_with_backpressure():
         assert e.value.status == 503
     finally:
         srv.shutdown()
+
+
+def test_pose_mixed_dtype_coalescing(daemon):
+    """uint8 frames ride the batcher as uint8 (4x fewer device-transfer
+    bytes); when a u8 and an f32 request coalesce into ONE batch, the frame
+    coercer must normalize them instead of letting np.concatenate promote
+    u8 0-255 values into the [0,1]-float program."""
+    server = daemon[0]
+    rng = np.random.RandomState(3)
+    f_u8 = (rng.rand(2, 256, 256, 3) * 255).astype(np.uint8)
+    # The f32 rider carries the SAME pixel values the u8 rider decodes to,
+    # so the two requests must produce (near-)identical poses whether or
+    # not they land in one coalesced batch. Un-coerced promotion would feed
+    # the u8 rider 0-255 floats and move its poses wildly.
+    f_f32 = f_u8.astype(np.float32) / 255.0
+
+    results = {}
+
+    def post(name, frames):
+        buf = io.BytesIO()
+        np.savez(buf, frames=frames)
+        out, _ = _post(server, "/v1/pose", buf.getvalue(), "application/x-npz")
+        with np.load(io.BytesIO(out), allow_pickle=False) as z:
+            results[name] = (z["pose2d"], z["pose3d_mm"])
+
+    threads = [
+        threading.Thread(target=post, args=("u8", f_u8)),
+        threading.Thread(target=post, args=("f32", f_f32)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    np.testing.assert_allclose(results["u8"][0], results["f32"][0], atol=1.0)
+    np.testing.assert_allclose(
+        results["u8"][1], results["f32"][1], rtol=1e-3, atol=1.0
+    )
