@@ -91,7 +91,13 @@ def main() -> None:
     client = PoseClient(f"http://{server.host}:{server.port}", timeout=600,
                         busy_retries=1000, busy_backoff=0.2)
 
-    # Warm every compiled size through the daemon itself.
+    # Warm every compiled size through the daemon itself — including the
+    # COALESCED shapes the measurement produces (clients x rows lift rows;
+    # every end2end batch size, since N concurrent b-row requests dispatch
+    # as chunks of the larger compiled sizes). The end2end program bakes
+    # the dataset's normalization stats in as constants, so each fresh
+    # synthetic dataset misses the service compile cache: an unwarmed size
+    # would compile DURING the measurement and dominate the percentiles.
     kp = (np.random.RandomState(0).rand(args.lift_rows, 16, 2) * 200).astype(
         np.float32
     )
@@ -101,8 +107,13 @@ def main() -> None:
         np.uint8
     )
     client.lift(kp)
-    client.pose(frames)
-    client.pose(frames[:1])
+    client.lift(np.concatenate([kp] * args.clients))
+    for b in sorted(end2end.batch_sizes):
+        client.pose(
+            (np.random.RandomState(b).rand(b, 256, 256, 3) * 255).astype(
+                np.uint8
+            )
+        )
 
     results = {}
     for route, payload, rows in (
