@@ -106,8 +106,10 @@ def main() -> None:
     frames = (np.random.RandomState(1).rand(8, 256, 256, 3) * 255).astype(
         np.uint8
     )
-    client.lift(kp)
-    client.lift(np.concatenate([kp] * args.clients))
+    for k in range(1, args.clients + 1):
+        # Every coalesce size 1..clients riders is a distinct compiled
+        # shape (TILE-padded) — warm them all, not just the extremes.
+        client.lift(np.concatenate([kp] * k))
     for b in sorted(end2end.batch_sizes):
         client.pose(
             (np.random.RandomState(b).rand(b, 256, 256, 3) * 255).astype(

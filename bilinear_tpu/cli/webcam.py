@@ -36,8 +36,13 @@ def build_forward(variant: str, save_root: str, comment: str, seed: int = 0):
     )
     # Pin the restored (numpy) weights on device once — per-FRAME dispatch
     # would otherwise re-upload the whole tree every frame (seconds/frame
-    # at production size on a slow host link; see eval/pckh.py).
-    state = jax.device_put(state)
+    # at production size on a slow host link; see eval/pckh.py). Only the
+    # fields the forward reads: uploading the optimizer moments too would
+    # double the startup transfer for nothing.
+    state = state.replace(
+        params=jax.device_put(state.params),
+        batch_stats=jax.device_put(state.batch_stats),
+    )
     model = trainer.model
 
     @jax.jit

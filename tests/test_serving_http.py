@@ -127,6 +127,59 @@ def test_submit_relabels_backend_errors_as_server_side():
     b.stop()
 
 
+def test_batcher_coerce_hook_normalizes_mixed_dtypes():
+    """Deterministic unit test of the coerce hook (the HTTP-level mixed
+    test depends on two threads actually coalescing): a u8 and an f32
+    rider in ONE batch must reach the backend as f32 in [0, 1], not as
+    np.concatenate's promotion of 0-255 u8 values; a homogeneous u8 batch
+    must stay u8 (the 4x-fewer-transfer-bytes path)."""
+    seen = []
+
+    def coerce(arrs):
+        if len({a.dtype for a in arrs}) == 1:
+            return arrs
+        return [
+            a.astype(np.float32) / 255.0 if a.dtype == np.uint8
+            else a.astype(np.float32)
+            for a in arrs
+        ]
+
+    def fn(x):
+        seen.append((x.dtype, x.copy()))
+        return (x.astype(np.float32),)
+
+    b = DynamicBatcher(fn, n_inputs=1, max_delay_ms=1000.0,
+                       coerce={0: coerce})
+    results = {}
+    u8 = np.array([[0, 128, 255]], np.uint8)
+    f32 = np.array([[0.25, 0.5, 0.75]], np.float32)
+
+    def client(name, x):
+        (y,) = b.submit(x)
+        results[name] = y
+
+    threads = [threading.Thread(target=client, args=("u8", u8)),
+               threading.Thread(target=client, args=("f32", f32))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # Coalesced into one batch (1000 ms window): dtype promoted via the
+    # coercer, u8 rider normalized to [0, 1].
+    assert len(seen) == 1 and seen[0][0] == np.float32
+    np.testing.assert_allclose(
+        results["u8"], [[0.0, 128 / 255.0, 1.0]], atol=1e-6
+    )
+    np.testing.assert_allclose(results["f32"], f32, atol=1e-6)
+
+    # Homogeneous u8 batch: stays u8 end to end.
+    seen.clear()
+    (y,) = b.submit(u8)
+    assert seen[0][0] == np.uint8
+    np.testing.assert_array_equal(y, u8.astype(np.float32))
+    b.stop()
+
+
 def test_batcher_input_validation():
     b = DynamicBatcher(lambda x, y: (x,), n_inputs=2, max_delay_ms=1.0)
     with pytest.raises(ValueError, match="expected 2"):
