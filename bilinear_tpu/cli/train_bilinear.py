@@ -10,6 +10,7 @@ bilinear.sh), auto-resuming from the newest checkpoint in
 """
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 
@@ -28,6 +29,8 @@ from bilinear_tpu.io.logger import get_logger
 from bilinear_tpu.io.tensorboard import TBWriter
 from bilinear_tpu.parallel import mesh as mesh_lib
 from bilinear_tpu.train.bilinear import BilinearTrainer
+from bilinear_tpu.utils.debug import debug_mode
+from bilinear_tpu.utils.profiling import trace
 
 
 def main(argv=None) -> None:
@@ -88,13 +91,10 @@ def main(argv=None) -> None:
             writer.scalar("BI/loss", float(loss), first_step + i)
         logger.info("Epoch %d saved (loss: %f)", epoch, float(loss_arr[-1]))
 
-    import contextlib
-
-    from bilinear_tpu.utils.profiling import trace
-
     t0 = time.time()
     profile_ctx = trace(log_dir) if cfg.profile else contextlib.nullcontext()
-    with profile_ctx:
+    nan_ctx = debug_mode() if cfg.debug_nans else contextlib.nullcontext()
+    with profile_ctx, nan_ctx:
         state = trainer.fit(
             state,
             x,

@@ -6,6 +6,7 @@ Usage: python -m bilinear_tpu.cli.train_hourglass [--data-dir data/MPII
 """
 from __future__ import annotations
 
+import contextlib
 import os
 
 import jax
@@ -25,6 +26,8 @@ from bilinear_tpu.io.tensorboard import TBWriter
 from bilinear_tpu.io.visualize import heatmap_overlay
 from bilinear_tpu.parallel import mesh as mesh_lib
 from bilinear_tpu.train.hourglass import HourglassTrainer, preprocess_batch
+from bilinear_tpu.utils.debug import debug_mode
+from bilinear_tpu.utils.profiling import Timer
 
 
 def main(argv=None) -> None:
@@ -76,18 +79,23 @@ def main(argv=None) -> None:
     primary = jax.process_index() == 0
     writer = TBWriter(log_dir)
     rng = jax.random.PRNGKey(cfg.seed + 1)
+    timer = Timer()
     for epoch in range(start_epoch + 1, start_epoch + cfg.epochs_per_run + 1):
-        state, loss = trainer.fit_epoch(
-            state, pipeline, epoch, jax.random.fold_in(rng, epoch),
-            log_every=50, logger=logger, group=cfg.steps_per_dispatch,
-        )
-        loss = float(loss)
+        timer.start()
+        with debug_mode() if cfg.debug_nans else contextlib.nullcontext():
+            state, loss = trainer.fit_epoch(
+                state, pipeline, epoch, jax.random.fold_in(rng, epoch),
+                log_every=50, logger=logger, group=cfg.steps_per_dispatch,
+            )
+        loss = float(loss)  # host fetch: the epoch's work is done here
+        timer.stop(items=len(annotations))
         if not primary:
             continue  # checkpoint/TB/log are primary-only artifacts
         save_checkpoint(parameter_dir, epoch, state)
         prune_checkpoints(parameter_dir, cfg.keep_checkpoints, cfg.keep_every)
         writer.scalar("HG/loss", loss, int(state.step))
-        logger.info("Epoch %d saved (loss: %f)", epoch, loss)
+        logger.info("Epoch %d saved (loss: %f, sustained %.1f img/s)",
+                    epoch, loss, timer.items_per_sec)
 
         # Heatmap-overlay TB images, as in train_hourglass.py:84-89.
         batch = next(iter(pipeline.epoch(epoch)))

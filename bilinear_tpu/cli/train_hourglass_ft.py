@@ -10,6 +10,7 @@ invocation (:67).
 """
 from __future__ import annotations
 
+import contextlib
 import os
 
 import jax
@@ -29,6 +30,7 @@ from bilinear_tpu.io.tensorboard import TBWriter
 from bilinear_tpu.ops.joints import FROM_H36M_TO_MPII
 from bilinear_tpu.parallel import mesh as mesh_lib
 from bilinear_tpu.train.hourglass import HourglassTrainer
+from bilinear_tpu.utils.debug import debug_mode
 
 
 def main(argv=None) -> None:
@@ -72,10 +74,11 @@ def main(argv=None) -> None:
     writer = TBWriter(log_dir)
     rng = jax.random.PRNGKey(cfg.seed + 1)
     for epoch in range(start_epoch + 1, start_epoch + cfg.epochs_per_run + 1):
-        state, loss = trainer.fit_epoch(
-            state, pipeline, epoch, jax.random.fold_in(rng, epoch),
-            log_every=100, logger=logger, group=cfg.steps_per_dispatch,
-        )
+        with debug_mode() if cfg.debug_nans else contextlib.nullcontext():
+            state, loss = trainer.fit_epoch(
+                state, pipeline, epoch, jax.random.fold_in(rng, epoch),
+                log_every=100, logger=logger, group=cfg.steps_per_dispatch,
+            )
         if not primary:
             continue  # checkpoint/TB/log are primary-only artifacts
         save_checkpoint(parameter_dir, epoch, state)

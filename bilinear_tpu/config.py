@@ -44,6 +44,7 @@ class BilinearConfig:
     # after each save (0 = keep all, the reference's behavior); resume only
     # reads the newest epoch so the restart contract is unaffected
     keep_every: int = 0  # additionally keep every N-th epoch as a milestone
+    debug_nans: bool = False  # trap the first NaN-producing op (utils/debug.py)
     # Multi-host bring-up (SURVEY.md §5; parallel/mesh.py::init_distributed).
     # Set --coordinator host:port plus --num-processes/--process-id on every
     # process; jax.devices() then spans the full slice and training runs DP
@@ -86,6 +87,7 @@ class HourglassConfig:
     keep_checkpoints: int = 0  # prune to the newest N epoch checkpoints
     # after each save (0 = keep all; ~300 MB/epoch at production size)
     keep_every: int = 0  # additionally keep every N-th epoch as a milestone
+    debug_nans: bool = False  # trap the first NaN-producing op (utils/debug.py)
     # Multi-host bring-up (see BilinearConfig.coordinator).
     coordinator: str = ""
     num_processes: int = 1

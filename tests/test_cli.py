@@ -45,6 +45,19 @@ def test_train_then_valid_then_resume(env):
     assert os.path.isdir(os.path.join(save, "Bilinear GT", "visualize"))
 
 
+def test_train_bilinear_debug_nans_flag(env):
+    """--debug-nans wires utils.debug.debug_mode around the fit: a healthy
+    run completes (and checkpoints) with NaN-trapping active."""
+    data, save = env
+    train_bilinear.main([
+        "--data-dir", data, "--save-root", save, "--batch-size", "64",
+        "--epochs-per-run", "1", "--comment", "Bilinear NaNguard",
+        "--debug-nans", "true",
+    ])
+    pdir = os.path.join(save, "Bilinear NaNguard", "parameter")
+    assert "1.save" in os.listdir(pdir)
+
+
 def test_webcam_synthetic_smoke(tmp_path, env):
     """The demo path end-to-end with a tiny fused model (checkpoint-free)."""
     from bilinear_tpu.cli import webcam
