@@ -30,6 +30,7 @@ from bilinear_tpu.io.tensorboard import TBWriter
 from bilinear_tpu.parallel import mesh as mesh_lib
 from bilinear_tpu.train.bilinear import BilinearTrainer
 from bilinear_tpu.utils.debug import debug_mode
+from bilinear_tpu.utils.preempt import GracefulShutdown
 from bilinear_tpu.utils.profiling import trace
 
 
@@ -75,26 +76,31 @@ def main(argv=None) -> None:
     primary = jax.process_index() == 0
     writer = TBWriter(log_dir)
 
+    shutdown = GracefulShutdown(logger)
+    epochs_done = 0
+
     def on_epoch_end(epoch: int, st, losses):
-        if not primary:
-            return
-        save_checkpoint(parameter_dir, epoch, st)
-        prune_checkpoints(parameter_dir, cfg.keep_checkpoints, cfg.keep_every)
-        # Per-step scalars, matching the reference's granularity
-        # (train_bilinear.py:86). The loss array is already on host after
-        # one fetch; steps for this epoch end at st.step.
-        # st.step is post-incremented (starts at 1, n steps -> n+1), so this
-        # epoch's losses belong to steps [st.step - len, st.step).
-        loss_arr = np.asarray(losses, np.float32)
-        first_step = int(st.step) - len(loss_arr)
-        for i, loss in enumerate(loss_arr):
-            writer.scalar("BI/loss", float(loss), first_step + i)
-        logger.info("Epoch %d saved (loss: %f)", epoch, float(loss_arr[-1]))
+        nonlocal epochs_done
+        epochs_done += 1
+        if primary:
+            save_checkpoint(parameter_dir, epoch, st)
+            prune_checkpoints(parameter_dir, cfg.keep_checkpoints, cfg.keep_every)
+            # Per-step scalars, matching the reference's granularity
+            # (train_bilinear.py:86). The loss array is already on host after
+            # one fetch; steps for this epoch end at st.step.
+            # st.step is post-incremented (starts at 1, n steps -> n+1), so
+            # this epoch's losses belong to steps [st.step - len, st.step).
+            loss_arr = np.asarray(losses, np.float32)
+            first_step = int(st.step) - len(loss_arr)
+            for i, loss in enumerate(loss_arr):
+                writer.scalar("BI/loss", float(loss), first_step + i)
+            logger.info("Epoch %d saved (loss: %f)", epoch, float(loss_arr[-1]))
+        return shutdown.requested  # truthy -> fit stops after this epoch
 
     t0 = time.time()
     profile_ctx = trace(log_dir) if cfg.profile else contextlib.nullcontext()
     nan_ctx = debug_mode() if cfg.debug_nans else contextlib.nullcontext()
-    with profile_ctx, nan_ctx:
+    with profile_ctx, nan_ctx, shutdown:
         state = trainer.fit(
             state,
             x,
@@ -108,10 +114,13 @@ def main(argv=None) -> None:
     dt = time.time() - t0
     logger.info(
         "%d epochs in %.1fs (%.0f poses/sec)",
-        cfg.epochs_per_run,
+        epochs_done,
         dt,
-        cfg.epochs_per_run * len(train) / dt,
+        epochs_done * len(train) / dt,
     )
+    if shutdown.requested:
+        logger.info("Preempted after epoch %d/%d; checkpoint saved, exiting 0",
+                    start_epoch + epochs_done, start_epoch + cfg.epochs_per_run)
     writer.close()
 
 

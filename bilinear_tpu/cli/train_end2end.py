@@ -28,6 +28,7 @@ from bilinear_tpu.io.logger import get_logger
 from bilinear_tpu.io.tensorboard import TBWriter
 from bilinear_tpu.train.end2end import End2EndTrainer
 from bilinear_tpu.utils.debug import debug_mode
+from bilinear_tpu.utils.preempt import GracefulShutdown
 
 
 def _maybe_warm_start(state, save_root, logger):
@@ -86,32 +87,35 @@ def main(argv=None) -> None:
     s_norm_all = jnp.asarray(train.s)
     writer = TBWriter(log_dir)
     rng = jax.random.PRNGKey(cfg.seed + 1)
-    for epoch in range(start_epoch + 1, start_epoch + cfg.epochs_per_run + 1):
-        # debug_mode() is a one-shot generator context — build one per epoch.
-        with debug_mode() if cfg.debug_nans else contextlib.nullcontext():
-            for batch in pipeline.epoch(epoch):
-                state, loss, hm_loss, loss_3d = trainer.train_step(
-                    state,
-                    {
-                        "images": batch.images,
-                        "centers": batch.centers,
-                        "scales": batch.scales,
-                        "keypoints": batch.keypoints,
-                        "valid": batch.valid,
-                        "s_norm": s_norm_all[jnp.asarray(batch.index)],
-                    },
-                    (mean_part, std_part),
-                    jax.random.fold_in(rng, epoch),
-                )
-        save_checkpoint(parameter_dir, epoch, state)
-        prune_checkpoints(parameter_dir, cfg.keep_checkpoints, cfg.keep_every)
-        writer.scalar("E2E/loss", float(loss), int(state.step))
-        writer.scalar("E2E/heatmap", float(hm_loss), int(state.step))
-        writer.scalar("E2E/3d", float(loss_3d), int(state.step))
-        logger.info(
-            "Epoch %d saved (loss %f = hm %f + 3d %f)",
-            epoch, float(loss), float(hm_loss), float(loss_3d),
-        )
+    with GracefulShutdown(logger) as shutdown:
+        for epoch in range(start_epoch + 1, start_epoch + cfg.epochs_per_run + 1):
+            # debug_mode() is a one-shot generator context — one per epoch.
+            with debug_mode() if cfg.debug_nans else contextlib.nullcontext():
+                for batch in pipeline.epoch(epoch):
+                    state, loss, hm_loss, loss_3d = trainer.train_step(
+                        state,
+                        {
+                            "images": batch.images,
+                            "centers": batch.centers,
+                            "scales": batch.scales,
+                            "keypoints": batch.keypoints,
+                            "valid": batch.valid,
+                            "s_norm": s_norm_all[jnp.asarray(batch.index)],
+                        },
+                        (mean_part, std_part),
+                        jax.random.fold_in(rng, epoch),
+                    )
+            save_checkpoint(parameter_dir, epoch, state)
+            prune_checkpoints(parameter_dir, cfg.keep_checkpoints, cfg.keep_every)
+            writer.scalar("E2E/loss", float(loss), int(state.step))
+            writer.scalar("E2E/heatmap", float(hm_loss), int(state.step))
+            writer.scalar("E2E/3d", float(loss_3d), int(state.step))
+            logger.info(
+                "Epoch %d saved (loss %f = hm %f + 3d %f)",
+                epoch, float(loss), float(hm_loss), float(loss_3d),
+            )
+            if shutdown.requested:
+                break  # epoch checkpointed; auto-resume continues from it
     writer.close()
 
 

@@ -27,6 +27,7 @@ from bilinear_tpu.io.visualize import heatmap_overlay
 from bilinear_tpu.parallel import mesh as mesh_lib
 from bilinear_tpu.train.hourglass import HourglassTrainer, preprocess_batch
 from bilinear_tpu.utils.debug import debug_mode
+from bilinear_tpu.utils.preempt import GracefulShutdown
 from bilinear_tpu.utils.profiling import Timer
 
 
@@ -80,43 +81,47 @@ def main(argv=None) -> None:
     writer = TBWriter(log_dir)
     rng = jax.random.PRNGKey(cfg.seed + 1)
     timer = Timer()
-    for epoch in range(start_epoch + 1, start_epoch + cfg.epochs_per_run + 1):
-        timer.start()
-        with debug_mode() if cfg.debug_nans else contextlib.nullcontext():
-            state, loss = trainer.fit_epoch(
-                state, pipeline, epoch, jax.random.fold_in(rng, epoch),
-                log_every=50, logger=logger, group=cfg.steps_per_dispatch,
-            )
-        loss = float(loss)  # host fetch: the epoch's work is done here
-        timer.stop(items=len(annotations))
-        if not primary:
-            continue  # checkpoint/TB/log are primary-only artifacts
-        save_checkpoint(parameter_dir, epoch, state)
-        prune_checkpoints(parameter_dir, cfg.keep_checkpoints, cfg.keep_every)
-        writer.scalar("HG/loss", loss, int(state.step))
-        logger.info("Epoch %d saved (loss: %f, sustained %.1f img/s)",
-                    epoch, loss, timer.items_per_sec)
+    shutdown = GracefulShutdown(logger)
+    with shutdown:
+        for epoch in range(start_epoch + 1, start_epoch + cfg.epochs_per_run + 1):
+            timer.start()
+            with debug_mode() if cfg.debug_nans else contextlib.nullcontext():
+                state, loss = trainer.fit_epoch(
+                    state, pipeline, epoch, jax.random.fold_in(rng, epoch),
+                    log_every=50, logger=logger, group=cfg.steps_per_dispatch,
+                )
+            loss = float(loss)  # host fetch: the epoch's work is done here
+            timer.stop(items=len(annotations))
+            if primary:  # checkpoint/TB/log are primary-only artifacts
+                save_checkpoint(parameter_dir, epoch, state)
+                prune_checkpoints(parameter_dir, cfg.keep_checkpoints,
+                                  cfg.keep_every)
+                writer.scalar("HG/loss", loss, int(state.step))
+                logger.info("Epoch %d saved (loss: %f, sustained %.1f img/s)",
+                            epoch, loss, timer.items_per_sec)
 
-        # Heatmap-overlay TB images, as in train_hourglass.py:84-89.
-        batch = next(iter(pipeline.epoch(epoch)))
-        crops, targets, _ = preprocess_batch(
-            jax.random.PRNGKey(0), jnp.asarray(batch.images),
-            jnp.asarray(batch.centers), jnp.asarray(batch.scales),
-            jnp.asarray(batch.keypoints), jnp.asarray(batch.valid),
-            augment=False,
-        )
-        # device_get -> numpy so this stays a process-local program (in
-        # distributed mode only process 0 runs it; global-array inputs would
-        # require all processes to participate).
-        variables = jax.device_get(
-            {"params": state.params, "batch_stats": state.batch_stats}
-        )
-        pred = trainer.model.apply(variables, crops, train=False)
-        tgt = jnp.transpose(targets, (0, 2, 3, 1))[None]
-        writer.image(f"{comment}/train/ground-truth",
-                     heatmap_overlay(crops, tgt), int(state.step))
-        writer.image(f"{comment}/train/prediction",
-                     heatmap_overlay(crops, pred), int(state.step))
+                # Heatmap-overlay TB images, as in train_hourglass.py:84-89.
+                batch = next(iter(pipeline.epoch(epoch)))
+                crops, targets, _ = preprocess_batch(
+                    jax.random.PRNGKey(0), jnp.asarray(batch.images),
+                    jnp.asarray(batch.centers), jnp.asarray(batch.scales),
+                    jnp.asarray(batch.keypoints), jnp.asarray(batch.valid),
+                    augment=False,
+                )
+                # device_get -> numpy so this stays a process-local program
+                # (in distributed mode only process 0 runs it; global-array
+                # inputs would require all processes to participate).
+                variables = jax.device_get(
+                    {"params": state.params, "batch_stats": state.batch_stats}
+                )
+                pred = trainer.model.apply(variables, crops, train=False)
+                tgt = jnp.transpose(targets, (0, 2, 3, 1))[None]
+                writer.image(f"{comment}/train/ground-truth",
+                             heatmap_overlay(crops, tgt), int(state.step))
+                writer.image(f"{comment}/train/prediction",
+                             heatmap_overlay(crops, pred), int(state.step))
+            if shutdown.requested:
+                break  # epoch is checkpointed; auto-resume continues from it
 
     writer.close()
 

@@ -31,6 +31,7 @@ from bilinear_tpu.ops.joints import FROM_H36M_TO_MPII
 from bilinear_tpu.parallel import mesh as mesh_lib
 from bilinear_tpu.train.hourglass import HourglassTrainer
 from bilinear_tpu.utils.debug import debug_mode
+from bilinear_tpu.utils.preempt import GracefulShutdown
 
 
 def main(argv=None) -> None:
@@ -73,18 +74,22 @@ def main(argv=None) -> None:
     primary = jax.process_index() == 0
     writer = TBWriter(log_dir)
     rng = jax.random.PRNGKey(cfg.seed + 1)
-    for epoch in range(start_epoch + 1, start_epoch + cfg.epochs_per_run + 1):
-        with debug_mode() if cfg.debug_nans else contextlib.nullcontext():
-            state, loss = trainer.fit_epoch(
-                state, pipeline, epoch, jax.random.fold_in(rng, epoch),
-                log_every=100, logger=logger, group=cfg.steps_per_dispatch,
-            )
-        if not primary:
-            continue  # checkpoint/TB/log are primary-only artifacts
-        save_checkpoint(parameter_dir, epoch, state)
-        prune_checkpoints(parameter_dir, cfg.keep_checkpoints, cfg.keep_every)
-        writer.scalar("FT/loss", float(loss), int(state.step))
-        logger.info("Epoch %d saved (loss: %f)", epoch, float(loss))
+    shutdown = GracefulShutdown(logger)
+    with shutdown:
+        for epoch in range(start_epoch + 1, start_epoch + cfg.epochs_per_run + 1):
+            with debug_mode() if cfg.debug_nans else contextlib.nullcontext():
+                state, loss = trainer.fit_epoch(
+                    state, pipeline, epoch, jax.random.fold_in(rng, epoch),
+                    log_every=100, logger=logger, group=cfg.steps_per_dispatch,
+                )
+            if primary:  # checkpoint/TB/log are primary-only artifacts
+                save_checkpoint(parameter_dir, epoch, state)
+                prune_checkpoints(parameter_dir, cfg.keep_checkpoints,
+                                  cfg.keep_every)
+                writer.scalar("FT/loss", float(loss), int(state.step))
+                logger.info("Epoch %d saved (loss: %f)", epoch, float(loss))
+            if shutdown.requested:
+                break  # epoch is checkpointed; auto-resume continues from it
     writer.close()
 
 

@@ -45,6 +45,10 @@ class BilinearConfig:
     # reads the newest epoch so the restart contract is unaffected
     keep_every: int = 0  # additionally keep every N-th epoch as a milestone
     debug_nans: bool = False  # trap the first NaN-producing op (utils/debug.py)
+    compile_cache_dir: str = ""  # persistent XLA compilation cache. The
+    # reference's outer driver re-invokes python 40x (bilinear.sh) and every
+    # invocation pays full compilation; pointing this at a directory makes
+    # restart N reuse restart N-1's compiled programs ("" = off).
     # Multi-host bring-up (SURVEY.md §5; parallel/mesh.py::init_distributed).
     # Set --coordinator host:port plus --num-processes/--process-id on every
     # process; jax.devices() then spans the full slice and training runs DP
@@ -88,6 +92,9 @@ class HourglassConfig:
     # after each save (0 = keep all; ~300 MB/epoch at production size)
     keep_every: int = 0  # additionally keep every N-th epoch as a milestone
     debug_nans: bool = False  # trap the first NaN-producing op (utils/debug.py)
+    compile_cache_dir: str = ""  # persistent XLA compilation cache across
+    # invocations (see BilinearConfig.compile_cache_dir; hourglass.sh re-
+    # invokes 20x and the fused train step is the longest compile in-tree)
     # Multi-host bring-up (see BilinearConfig.coordinator).
     coordinator: str = ""
     num_processes: int = 1
@@ -132,6 +139,22 @@ def apply_platform_override() -> None:
         jax.config.update("jax_platforms", platform)
 
 
+def enable_compile_cache(path: str) -> None:
+    """Point JAX's persistent compilation cache at ``path``.
+
+    Makes the reference's process-per-epoch-block driver design
+    (bilinear.sh/hourglass.sh re-invoking python 40x/20x) cheap on TPU:
+    every invocation after the first loads its programs from disk instead
+    of recompiling. Thresholds are zeroed so even CPU test programs cache
+    (the defaults skip sub-second compiles)."""
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def parse_config(cfg, argv=None):
     """Overlay CLI flags onto a config dataclass instance."""
     apply_platform_override()
@@ -141,4 +164,6 @@ def parse_config(cfg, argv=None):
     for f in dataclasses.fields(cfg):
         if hasattr(args, f.name):
             setattr(cfg, f.name, getattr(args, f.name))
+    if getattr(cfg, "compile_cache_dir", ""):
+        enable_compile_cache(cfg.compile_cache_dir)
     return cfg

@@ -154,9 +154,11 @@ class BilinearTrainer:
         invocation, bilinear.sh x40). ``on_epoch_end(epoch, state, losses)``
         is the checkpoint/logging hook; ``losses`` is the full per-step loss
         array for the epoch (one host fetch per epoch — the reference logged
-        per step, train_bilinear.py:86, and so can the callback)."""
+        per step, train_bilinear.py:86, and so can the callback). A truthy
+        return from the callback stops after that epoch (graceful
+        preemption: the epoch is already checkpointed)."""
         for e in range(start_epoch + 1, start_epoch + epochs + 1):
             state, losses = self.train_epoch(state, x, y, jax.random.fold_in(rng, e))
-            if on_epoch_end is not None:
-                on_epoch_end(e, state, losses)
+            if on_epoch_end is not None and on_epoch_end(e, state, losses):
+                break
         return state
