@@ -30,7 +30,7 @@ from bilinear_tpu.io.tensorboard import TBWriter
 from bilinear_tpu.parallel import mesh as mesh_lib
 from bilinear_tpu.train.bilinear import BilinearTrainer
 from bilinear_tpu.utils.debug import debug_mode
-from bilinear_tpu.utils.preempt import GracefulShutdown
+from bilinear_tpu.utils.preempt import GracefulShutdown, global_requested
 from bilinear_tpu.utils.profiling import trace
 
 
@@ -95,7 +95,10 @@ def main(argv=None) -> None:
             for i, loss in enumerate(loss_arr):
                 writer.scalar("BI/loss", float(loss), first_step + i)
             logger.info("Epoch %d saved (loss: %f)", epoch, float(loss_arr[-1]))
-        return shutdown.requested  # truthy -> fit stops after this epoch
+        # Truthy -> fit stops after this epoch. Multi-host runs agree on
+        # the flag first, else un-signaled processes hang in the next
+        # epoch's collectives.
+        return global_requested(shutdown.requested)
 
     t0 = time.time()
     profile_ctx = trace(log_dir) if cfg.profile else contextlib.nullcontext()

@@ -67,6 +67,11 @@ def main(argv=None) -> None:
     splits = load_h36m(cfg.data_dir, "GT")
     train = splits[Task.Train]
     records = H36MImageRecords(train, cfg.data_dir)
+    if len(records) < cfg.batch_size:
+        raise SystemExit(
+            f"train split has {len(records)} samples < batch size "
+            f"{cfg.batch_size}: drop_last would yield zero steps per epoch"
+        )
     pipeline = MPIIHostPipeline(records, cfg.batch_size, shuffle=True,
                                 seed=cfg.seed, drop_last=True)
 

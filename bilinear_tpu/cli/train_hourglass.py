@@ -27,7 +27,7 @@ from bilinear_tpu.io.visualize import heatmap_overlay
 from bilinear_tpu.parallel import mesh as mesh_lib
 from bilinear_tpu.train.hourglass import HourglassTrainer, preprocess_batch
 from bilinear_tpu.utils.debug import debug_mode
-from bilinear_tpu.utils.preempt import GracefulShutdown
+from bilinear_tpu.utils.preempt import GracefulShutdown, global_requested
 from bilinear_tpu.utils.profiling import Timer
 
 
@@ -120,7 +120,9 @@ def main(argv=None) -> None:
                              heatmap_overlay(crops, tgt), int(state.step))
                 writer.image(f"{comment}/train/prediction",
                              heatmap_overlay(crops, pred), int(state.step))
-            if shutdown.requested:
+            # Multi-host runs agree on the flag (any signaled process stops
+            # all), else the un-signaled rest hang in the next collectives.
+            if global_requested(shutdown.requested):
                 break  # epoch is checkpointed; auto-resume continues from it
 
     writer.close()

@@ -31,7 +31,7 @@ from bilinear_tpu.ops.joints import FROM_H36M_TO_MPII
 from bilinear_tpu.parallel import mesh as mesh_lib
 from bilinear_tpu.train.hourglass import HourglassTrainer
 from bilinear_tpu.utils.debug import debug_mode
-from bilinear_tpu.utils.preempt import GracefulShutdown
+from bilinear_tpu.utils.preempt import GracefulShutdown, global_requested
 
 
 def main(argv=None) -> None:
@@ -88,7 +88,9 @@ def main(argv=None) -> None:
                                   cfg.keep_every)
                 writer.scalar("FT/loss", float(loss), int(state.step))
                 logger.info("Epoch %d saved (loss: %f)", epoch, float(loss))
-            if shutdown.requested:
+            # Multi-host runs agree on the flag (any signaled process stops
+            # all), else the un-signaled rest hang in the next collectives.
+            if global_requested(shutdown.requested):
                 break  # epoch is checkpointed; auto-resume continues from it
     writer.close()
 

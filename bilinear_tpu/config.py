@@ -139,20 +139,22 @@ def apply_platform_override() -> None:
         jax.config.update("jax_platforms", platform)
 
 
-def enable_compile_cache(path: str) -> None:
+def enable_compile_cache(path: str, zero_thresholds: bool = False) -> None:
     """Point JAX's persistent compilation cache at ``path``.
 
     Makes the reference's process-per-epoch-block driver design
     (bilinear.sh/hourglass.sh re-invoking python 40x/20x) cheap on TPU:
     every invocation after the first loads its programs from disk instead
-    of recompiling. Thresholds are zeroed so even CPU test programs cache
-    (the defaults skip sub-second compiles)."""
+    of recompiling. Production keeps JAX's own thresholds (sub-second
+    compiles are not worth disk churn); ``zero_thresholds`` lets tests
+    cache even trivial CPU programs."""
     import jax
 
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    if zero_thresholds:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def parse_config(cfg, argv=None):

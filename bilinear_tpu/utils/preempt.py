@@ -48,7 +48,9 @@ class GracefulShutdown:
                 signal.Signals(signum).name,
             )
         # Re-arm the previous handler: a second signal is an actual kill.
-        prev = self._previous.get(signum, signal.SIG_DFL)
+        # signal.signal() reports None for handlers installed by C code
+        # (e.g. a runtime plugin) — fall back to the default disposition.
+        prev = self._previous.get(signum) or signal.SIG_DFL
         signal.signal(signum, prev)
 
     def __enter__(self):
@@ -62,7 +64,27 @@ class GracefulShutdown:
     def __exit__(self, *exc):
         for s, prev in self._previous.items():
             try:
-                signal.signal(s, prev)
+                signal.signal(s, prev or signal.SIG_DFL)
             except ValueError:
                 pass
         return False
+
+
+def global_requested(local: bool) -> bool:
+    """Agree on preemption across processes (multi-host DP runs).
+
+    A SIGTERM usually reaches only some processes (one host of a slice);
+    if those exited alone the rest would hang in the next epoch's global
+    collectives. Stop when ANY process was signaled: a one-element
+    process_allgather doubles as the agreement barrier. Single-process
+    runs short-circuit to the local flag.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return local
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.asarray([bool(local)]))
+    return bool(np.asarray(flags).any())

@@ -41,6 +41,17 @@ def main() -> None:
 
     result = case.run_steps(mesh, to_global)
     result["process_id"] = pid
+
+    # Preemption agreement (utils/preempt.py::global_requested): only
+    # process 0 "received" the signal; BOTH processes must agree to stop
+    # (and to continue when nobody was signaled). Collective — every
+    # process calls in the same order.
+    from bilinear_tpu.utils.preempt import global_requested
+
+    assert global_requested(pid == 0) is True
+    assert global_requested(False) is False
+    result["preempt_agree"] = True
+
     print(json.dumps(result), flush=True)
 
 

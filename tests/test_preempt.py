@@ -10,7 +10,7 @@ import time
 
 import pytest
 
-from bilinear_tpu.utils.preempt import GracefulShutdown
+from bilinear_tpu.utils.preempt import GracefulShutdown, global_requested
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -45,6 +45,27 @@ def test_second_signal_falls_through():
             assert len(outer) == 1  # second one reached the old handler
     finally:
         signal.signal(signal.SIGUSR1, prev)
+
+
+def test_global_requested_single_process_identity():
+    # Single-process: pure pass-through, no collective dispatched.
+    assert global_requested(True) is True
+    assert global_requested(False) is False
+
+
+def test_none_previous_handler_degrades_to_default():
+    """C-installed handlers read back as None; the latch must re-arm/restore
+    SIG_DFL instead of raising TypeError mid-epoch."""
+    gs = GracefulShutdown(signals=(signal.SIGUSR2,))
+    prev = signal.signal(signal.SIGUSR2, signal.SIG_IGN)
+    try:
+        with gs:
+            gs._previous[signal.SIGUSR2] = None  # simulate a C handler
+            os.kill(os.getpid(), signal.SIGUSR2)
+            assert gs.requested
+            assert signal.getsignal(signal.SIGUSR2) == signal.SIG_DFL
+    finally:
+        signal.signal(signal.SIGUSR2, prev)
 
 
 def test_train_bilinear_sigterm_checkpoints_and_exits_zero(tmp_path):
@@ -116,7 +137,7 @@ def test_enable_compile_cache_populates_dir():
     old_bytes = jax.config.jax_persistent_cache_min_entry_size_bytes
     d = tempfile.mkdtemp()
     try:
-        enable_compile_cache(d)
+        enable_compile_cache(d, zero_thresholds=True)
         # A fresh program shape so this compiles (and therefore caches).
         f = jax.jit(lambda x: jnp.tanh(x) @ x.T + 0.12345)
         f(jnp.ones((17, 23))).block_until_ready()
