@@ -17,9 +17,10 @@ BilinearUnit eval forward, measured in this image at 10_100 poses/sec
 (1-thread torch 2.13 CPU, batch 8192; re-measure with --measure-baseline).
 The BASELINE.json north-star target is >=10x that per chip.
 
-Timing method: the tunneled TPU platform here does not synchronize on
-block_until_ready — only a host fetch forces execution — and carries a
-~25 ms RTT per fetch. So we jit K forward passes in a fori_loop ending in a
+Timing method: the tunneled TPU platform's block_until_ready semantics are
+version-dependent (probe with cli.doctor) — a host fetch always forces
+execution — and each fetch carries a
+~25 ms RTT. So we jit K forward passes in a fori_loop ending in a
 scalar fetch, time two different K, and difference them: per-pass time is
 (t_K2 - t_K1)/(K2 - K1), with the RTT and dispatch overhead cancelled
 (utils/profiling.py::measure_fn / measure_step_fn).

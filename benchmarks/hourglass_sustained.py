@@ -13,8 +13,8 @@ same records:
   host_only   - iterate the MPIIHostPipeline with prefetch disabled and no
                 device work: decode + region pack cost per batch.
   device_only - the fused train step on a resident batch, K-differenced
-                (utils/profiling rules; block_until_ready does not sync on
-                the tunneled platform).
+                (utils/profiling rules; scalar-fetch sync — correct under
+                either block_until_ready behavior on the tunneled platform).
   sustained   - the real training loop (HourglassTrainer.fit_epoch with the
                 prefetching pipeline, grouped dispatch) over >= --batches
                 batches, wall-clocked with a final loss fetch.

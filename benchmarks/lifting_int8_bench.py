@@ -3,8 +3,8 @@
 The bf16 kernel sits at ~90% of the v5e bf16 MXU peak (RESULTS.md), so the
 only remaining lever for the headline lifting-serving path is the int8 MXU
 (~2x MACs/cycle). Same differenced fori-loop method as bench.py (this
-platform: no block_until_ready sync, ~25 ms RTT — only differenced
-scalar-fetch loops measure anything).
+platform: version-dependent block_until_ready semantics, ~25 ms RTT —
+differenced scalar-fetch loops are correct regardless).
 
 Usage: python benchmarks/lifting_int8_bench.py  (on the TPU)
 """

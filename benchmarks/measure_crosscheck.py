@@ -1,9 +1,10 @@
 """Validate the measure_fn timing harness against independent methods.
 
 RESULTS.md numbers come from utils/profiling.py::measure_fn — a differenced
-K-iteration jitted loop ending in a scalar fetch (required on the tunneled
-platform where block_until_ready does not synchronize and naive loops get
-hoisted). A harness that silently measured the wrong thing would poison every
+K-iteration jitted loop ending in a scalar fetch (correct on the tunneled
+platform whatever block_until_ready does that jax version — probe with
+cli.doctor — and immune to XLA hoisting naive loops). A harness that
+silently measured the wrong thing would poison every
 number, so this script cross-checks it two independent ways:
 
 1. trace:    run the same op under jax.profiler and read the executable's

@@ -6,8 +6,9 @@ The reference's only instrumentation is a tqdm loss postfix
 - ``trace(log_dir)``: jax.profiler context writing a TensorBoard trace
   (viewable with tensorboard-plugin-profile);
 - ``Timer``: throughput/step-time accounting that forces execution with a
-  host fetch — REQUIRED on tunneled TPU platforms where block_until_ready
-  does not synchronize (see .claude/skills/verify/SKILL.md);
+  host fetch — correct even on tunneled TPU platforms where
+  block_until_ready may not synchronize (probe with cli.doctor; see
+  .claude/skills/verify/SKILL.md);
 - ``measure_fn``: RTT-cancelling kernel timing — jit K iterations ending in a
   scalar fetch for two different K and difference them (the method bench.py
   uses).
