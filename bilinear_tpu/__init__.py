@@ -25,3 +25,20 @@ Re-implements, TPU-first, the full capability surface of the reference
 """
 
 __version__ = "0.1.0"
+
+# Honor BILINEAR_TPU_PLATFORM at package-import time (duplicated from
+# config.apply_platform_override, which stays the canonical entry point —
+# importing config here would cycle through data.h36m). This must run before
+# ANY submodule can touch jax: the environment's sitecustomize registers the
+# TPU plugin and pins the platform through jax.config, so a subprocess's
+# JAX_PLATFORMS env var cannot force CPU, and the first device-array creation
+# anywhere (even an accidental module-level constant) would otherwise lock in
+# the TPU backend before the CLIs' parse_config gets a chance to override.
+import os as _os
+
+_platform = _os.environ.get("BILINEAR_TPU_PLATFORM")
+if _platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)
+del _os, _platform

@@ -56,7 +56,11 @@ def sample_geometry(
 # Color jitter (torchvision-semantics), NHWC float images in [0, 1].
 # --------------------------------------------------------------------------
 
-_GRAY = jnp.asarray([0.299, 0.587, 0.114])
+# Plain tuple, converted under trace: a module-level jnp.asarray would
+# initialize the JAX backend at import time, defeating the CLIs' platform
+# override (config.apply_platform_override) for anything importing this
+# module before parse_config runs.
+_GRAY = (0.299, 0.587, 0.114)
 
 
 def _blend(img, other, factor):
@@ -69,13 +73,14 @@ def adjust_brightness(img, factor):
 
 def adjust_contrast(img, factor):
     mean = jnp.mean(
-        jnp.tensordot(img, _GRAY, axes=[[-1], [0]]), axis=(-2, -1), keepdims=True
+        jnp.tensordot(img, jnp.asarray(_GRAY), axes=[[-1], [0]]),
+        axis=(-2, -1), keepdims=True,
     )[..., None]
     return _blend(img, mean, factor)
 
 
 def adjust_saturation(img, factor):
-    gray = jnp.tensordot(img, _GRAY, axes=[[-1], [0]])[..., None]
+    gray = jnp.tensordot(img, jnp.asarray(_GRAY), axes=[[-1], [0]])[..., None]
     return _blend(img, gray, factor)
 
 
