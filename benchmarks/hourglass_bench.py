@@ -66,5 +66,16 @@ def bench_train_step(batch: int = 8, dtype=jnp.bfloat16) -> dict:
 
 
 if __name__ == "__main__":
-    print(json.dumps(bench_inference()), flush=True)
-    print(json.dumps(bench_train_step()), flush=True)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-batches", default="8",
+                    help="comma-separated train-step batch sizes to sweep "
+                         "(serving peaks at 16; training default is the "
+                         "reference protocol's 8)")
+    ap.add_argument("--skip-inference", action="store_true")
+    args = ap.parse_args()
+    if not args.skip_inference:
+        print(json.dumps(bench_inference()), flush=True)
+    for b in [int(s) for s in args.train_batches.split(",") if s]:
+        print(json.dumps(bench_train_step(batch=b)), flush=True)
