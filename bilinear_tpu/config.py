@@ -155,6 +155,19 @@ def enable_compile_cache(path: str, zero_thresholds: bool = False) -> None:
     if zero_thresholds:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # JAX initializes its persistent-cache object lazily ONCE and then
+    # ignores later jax_compilation_cache_dir updates, so re-pointing the
+    # cache mid-process (doctor's probe after earlier compiles; a second
+    # enable_compile_cache call) would silently write to the old dir — or
+    # nowhere. Reset the latched state so the next compile re-initializes
+    # against ``path``. Private API, so degrade gracefully if it moves:
+    # the config update above still covers the fresh-process CLI path.
+    try:
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+    except (ImportError, AttributeError):
+        pass
 
 
 def parse_config(cfg, argv=None):
