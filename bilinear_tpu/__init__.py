@@ -36,9 +36,14 @@ __version__ = "0.1.0"
 # the TPU backend before the CLIs' parse_config gets a chance to override.
 import os as _os
 
-_platform = _os.environ.get("BILINEAR_TPU_PLATFORM")
-if _platform:
-    import jax as _jax
 
-    _jax.config.update("jax_platforms", _platform)
-del _os, _platform
+def _apply_platform_override() -> None:
+    platform = _os.environ.get("BILINEAR_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+_apply_platform_override()
+del _os, _apply_platform_override

@@ -26,7 +26,7 @@ from bilinear_tpu.io.checkpoint import (
     load_checkpoint,
     mark_finalized,
     restore_state,
-    resume_or_init,
+    resume_or_init_fast,
 )
 from bilinear_tpu.io.logger import get_logger
 from bilinear_tpu.train.hourglass import HourglassTrainer
@@ -49,14 +49,15 @@ def main(argv=None) -> None:
     trainer = HourglassTrainer(variant=cfg.variant, batch_size=cfg.batch_size,
                                n_stacks=cfg.n_stacks, features=cfg.features,
                                depth=cfg.depth)
-    template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
-    state, epoch = resume_or_init(template, parameter_dir)
+    init_fn, init_key = trainer.init_state, jax.random.PRNGKey(cfg.seed)
+    state, epoch = resume_or_init_fast(init_fn, init_key, parameter_dir)
 
     if is_finalized(parameter_dir):
         # Reuse the finalized BN statistics (epoch = -1 sentinel).
         logger.info("Using finalized BN statistics (-1.save)")
         state = restore_state(
-            template, load_checkpoint(parameter_dir, FINALIZED_EPOCH)
+            jax.eval_shape(init_fn, init_key),
+            load_checkpoint(parameter_dir, FINALIZED_EPOCH),
         )
     else:
         logger.info("Finalizing BN statistics over the train split (one-time)")

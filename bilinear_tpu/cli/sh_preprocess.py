@@ -15,7 +15,7 @@ import jax
 
 from bilinear_tpu.config import HourglassConfig, parse_config
 from bilinear_tpu.data.sh_convert import convert_gt_to_sh
-from bilinear_tpu.io.checkpoint import resume_or_init
+from bilinear_tpu.io.checkpoint import resume_or_init_fast
 from bilinear_tpu.io.logger import get_logger
 from bilinear_tpu.train.hourglass import HourglassTrainer
 
@@ -33,8 +33,9 @@ def main(argv=None) -> None:
     trainer = HourglassTrainer(variant=cfg.variant, batch_size=cfg.batch_size,
                                n_stacks=cfg.n_stacks, features=cfg.features,
                                depth=cfg.depth)
-    template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
-    state, epoch = resume_or_init(template, parameter_dir)
+    state, epoch = resume_or_init_fast(
+        trainer.init_state, jax.random.PRNGKey(cfg.seed), parameter_dir
+    )
     logger.info("Converting GT->%s with hourglass epoch %d", args.protocol_out, epoch)
 
     written = convert_gt_to_sh(

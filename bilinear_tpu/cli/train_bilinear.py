@@ -22,7 +22,7 @@ from bilinear_tpu.config import BilinearConfig, parse_config
 from bilinear_tpu.data.h36m import Task, load_h36m
 from bilinear_tpu.io.checkpoint import (
     prune_checkpoints,
-    resume_or_init,
+    resume_or_init_fast,
     save_checkpoint,
 )
 from bilinear_tpu.io.logger import get_logger
@@ -66,8 +66,10 @@ def main(argv=None) -> None:
         mesh=mesh,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )
-    template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
-    state, start_epoch = resume_or_init(template, parameter_dir)
+    state, start_epoch = resume_or_init_fast(
+        trainer.init_state, jax.random.PRNGKey(cfg.seed), parameter_dir,
+        pack=not distributed,
+    )
     if distributed:
         state = jax.device_get(state)  # numpy leaves == replicated under jit
     if start_epoch:
@@ -98,6 +100,7 @@ def main(argv=None) -> None:
         # Truthy -> fit stops after this epoch. Multi-host runs agree on
         # the flag first, else un-signaled processes hang in the next
         # epoch's collectives.
+        shutdown.log_pending()
         return global_requested(shutdown.requested)
 
     t0 = time.time()

@@ -21,7 +21,7 @@ from bilinear_tpu.io.checkpoint import (
     latest_epoch,
     load_checkpoint,
     prune_checkpoints,
-    resume_or_init,
+    resume_or_init_fast,
     save_checkpoint,
 )
 from bilinear_tpu.io.logger import get_logger
@@ -82,8 +82,10 @@ def main(argv=None) -> None:
     )
     mean_part = jnp.asarray(train.mean_part)
     std_part = jnp.asarray(train.std_part)
-    template = trainer.init_state(jax.random.PRNGKey(cfg.seed), mean_part, std_part)
-    state, start_epoch = resume_or_init(template, parameter_dir)
+    state, start_epoch = resume_or_init_fast(
+        lambda k: trainer.init_state(k, mean_part, std_part),
+        jax.random.PRNGKey(cfg.seed), parameter_dir,
+    )
     if start_epoch == 0:
         state = _maybe_warm_start(state, cfg.save_root, logger)
     else:

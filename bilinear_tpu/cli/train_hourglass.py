@@ -18,7 +18,7 @@ from bilinear_tpu.data.mpii import MPIIAnnotations
 from bilinear_tpu.data.pipeline import MPIIHostPipeline
 from bilinear_tpu.io.checkpoint import (
     prune_checkpoints,
-    resume_or_init,
+    resume_or_init_fast,
     save_checkpoint,
 )
 from bilinear_tpu.io.logger import get_logger
@@ -68,8 +68,10 @@ def main(argv=None) -> None:
         depth=cfg.depth,
         fused_blocks=cfg.fused_blocks,
     )
-    template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
-    state, start_epoch = resume_or_init(template, parameter_dir)
+    state, start_epoch = resume_or_init_fast(
+        trainer.init_state, jax.random.PRNGKey(cfg.seed), parameter_dir,
+        pack=not distributed,
+    )
     if distributed:
         # Host (numpy) leaves are treated as replicated by jit over the
         # global mesh; process-local device arrays would not be addressable.
@@ -97,8 +99,8 @@ def main(argv=None) -> None:
                 prune_checkpoints(parameter_dir, cfg.keep_checkpoints,
                                   cfg.keep_every)
                 writer.scalar("HG/loss", loss, int(state.step))
-                logger.info("Epoch %d saved (loss: %f, sustained %.1f img/s)",
-                            epoch, loss, timer.items_per_sec)
+                logger.info("Epoch %d saved (loss: %f, epoch %.1f img/s)",
+                            epoch, loss, timer.last_items_per_sec)
 
                 # Heatmap-overlay TB images, as in train_hourglass.py:84-89.
                 batch = next(iter(pipeline.epoch(epoch)))
@@ -122,6 +124,7 @@ def main(argv=None) -> None:
                              heatmap_overlay(crops, pred), int(state.step))
             # Multi-host runs agree on the flag (any signaled process stops
             # all), else the un-signaled rest hang in the next collectives.
+            shutdown.log_pending()
             if global_requested(shutdown.requested):
                 break  # epoch is checkpointed; auto-resume continues from it
 

@@ -22,7 +22,7 @@ from bilinear_tpu.data.h36m_images import H36MImageRecords
 from bilinear_tpu.data.pipeline import MPIIHostPipeline
 from bilinear_tpu.io.checkpoint import (
     prune_checkpoints,
-    resume_or_init,
+    resume_or_init_fast,
     save_checkpoint,
 )
 from bilinear_tpu.io.logger import get_logger
@@ -64,8 +64,10 @@ def main(argv=None) -> None:
         features=cfg.features,
         depth=cfg.depth,
     )
-    template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
-    state, start_epoch = resume_or_init(template, parameter_dir)
+    state, start_epoch = resume_or_init_fast(
+        trainer.init_state, jax.random.PRNGKey(cfg.seed), parameter_dir,
+        pack=not distributed,
+    )
     if distributed:
         state = jax.device_get(state)  # numpy leaves == replicated under jit
     if start_epoch:
@@ -90,6 +92,7 @@ def main(argv=None) -> None:
                 logger.info("Epoch %d saved (loss: %f)", epoch, float(loss))
             # Multi-host runs agree on the flag (any signaled process stops
             # all), else the un-signaled rest hang in the next collectives.
+            shutdown.log_pending()
             if global_requested(shutdown.requested):
                 break  # epoch is checkpointed; auto-resume continues from it
     writer.close()

@@ -14,7 +14,7 @@ import jax
 from bilinear_tpu.config import BilinearConfig, parse_config
 from bilinear_tpu.data.h36m import Task, load_h36m
 from bilinear_tpu.eval.mpjpe import evaluate_mpjpe
-from bilinear_tpu.io.checkpoint import resume_or_init
+from bilinear_tpu.io.checkpoint import resume_or_init_fast
 from bilinear_tpu.io.logger import get_logger
 from bilinear_tpu.train.bilinear import BilinearTrainer
 
@@ -28,8 +28,9 @@ def main(argv=None) -> None:
     valid = splits[Task.Valid]
 
     trainer = BilinearTrainer(batch_size=cfg.batch_size)
-    template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
-    state, epoch = resume_or_init(template, parameter_dir)
+    state, epoch = resume_or_init_fast(
+        trainer.init_state, jax.random.PRNGKey(cfg.seed), parameter_dir
+    )
     logger.info("Evaluating epoch %d", epoch)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -25,7 +25,7 @@ from bilinear_tpu.data.h36m_images import H36MImageRecords
 from bilinear_tpu.data.pipeline import MPIIHostPipeline
 from bilinear_tpu.eval.pckh import evaluate_pckh
 from bilinear_tpu.eval.recalibrate import recalibrate
-from bilinear_tpu.io.checkpoint import resume_or_init
+from bilinear_tpu.io.checkpoint import resume_or_init_fast
 from bilinear_tpu.io.logger import get_logger
 from bilinear_tpu.ops.joints import FROM_H36M_TO_MPII
 from bilinear_tpu.train.hourglass import HourglassTrainer
@@ -57,8 +57,9 @@ def main(argv=None) -> None:
     trainer = HourglassTrainer(variant=cfg.variant, batch_size=cfg.batch_size,
                                n_stacks=cfg.n_stacks, features=cfg.features,
                                depth=cfg.depth)
-    template = trainer.init_state(jax.random.PRNGKey(cfg.seed))
-    state, epoch = resume_or_init(template, parameter_dir)
+    state, epoch = resume_or_init_fast(
+        trainer.init_state, jax.random.PRNGKey(cfg.seed), parameter_dir
+    )
     logger.info("Evaluating FT epoch %d", epoch)
 
     splits = load_h36m(cfg.data_dir, "GT")

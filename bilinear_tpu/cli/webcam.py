@@ -22,17 +22,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bilinear_tpu.io.checkpoint import resume_or_init
+from bilinear_tpu.io.checkpoint import resume_or_init_fast
 from bilinear_tpu.train.end2end import End2EndTrainer
+from bilinear_tpu.utils.residency import packed_device_put
 
 
 def build_forward(variant: str, save_root: str, comment: str, seed: int = 0):
     trainer = End2EndTrainer(variant=variant)
     mean = jnp.zeros(32)
     std = jnp.ones(32)
-    template = trainer.init_state(jax.random.PRNGKey(seed), mean, std)
-    state, epoch = resume_or_init(
-        template, os.path.join(save_root, comment, "parameter")
+    state, epoch = resume_or_init_fast(
+        lambda k: trainer.init_state(k, mean, std), jax.random.PRNGKey(seed),
+        os.path.join(save_root, comment, "parameter")
     )
     # Pin the restored (numpy) weights on device once — per-FRAME dispatch
     # would otherwise re-upload the whole tree every frame (seconds/frame
@@ -40,8 +41,8 @@ def build_forward(variant: str, save_root: str, comment: str, seed: int = 0):
     # fields the forward reads: uploading the optimizer moments too would
     # double the startup transfer for nothing.
     state = state.replace(
-        params=jax.device_put(state.params),
-        batch_stats=jax.device_put(state.batch_stats),
+        params=packed_device_put(state.params),
+        batch_stats=packed_device_put(state.batch_stats),
     )
     model = trainer.model
 

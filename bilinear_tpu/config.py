@@ -45,10 +45,11 @@ class BilinearConfig:
     # reads the newest epoch so the restart contract is unaffected
     keep_every: int = 0  # additionally keep every N-th epoch as a milestone
     debug_nans: bool = False  # trap the first NaN-producing op (utils/debug.py)
-    compile_cache_dir: str = ""  # persistent XLA compilation cache. The
+    compile_cache_dir: str = "auto"  # persistent XLA compilation cache. The
     # reference's outer driver re-invokes python 40x (bilinear.sh) and every
-    # invocation pays full compilation; pointing this at a directory makes
-    # restart N reuse restart N-1's compiled programs ("" = off).
+    # invocation pays full compilation; "auto" (the default) persists
+    # compiled programs under {save_root}/{comment}/xla_cache so restart N
+    # reuses restart N-1's programs. A path overrides; "" disables.
     # Multi-host bring-up (SURVEY.md §5; parallel/mesh.py::init_distributed).
     # Set --coordinator host:port plus --num-processes/--process-id on every
     # process; jax.devices() then spans the full slice and training runs DP
@@ -92,9 +93,10 @@ class HourglassConfig:
     # after each save (0 = keep all; ~300 MB/epoch at production size)
     keep_every: int = 0  # additionally keep every N-th epoch as a milestone
     debug_nans: bool = False  # trap the first NaN-producing op (utils/debug.py)
-    compile_cache_dir: str = ""  # persistent XLA compilation cache across
-    # invocations (see BilinearConfig.compile_cache_dir; hourglass.sh re-
-    # invokes 20x and the fused train step is the longest compile in-tree)
+    compile_cache_dir: str = "auto"  # persistent XLA compilation cache
+    # across invocations, on by default under {save_root}/{comment}/xla_cache
+    # (see BilinearConfig.compile_cache_dir; hourglass.sh re-invokes 20x and
+    # the fused train step is the longest compile in-tree). "" disables.
     # Multi-host bring-up (see BilinearConfig.coordinator).
     coordinator: str = ""
     num_processes: int = 1
@@ -179,6 +181,10 @@ def parse_config(cfg, argv=None):
     for f in dataclasses.fields(cfg):
         if hasattr(args, f.name):
             setattr(cfg, f.name, getattr(args, f.name))
-    if getattr(cfg, "compile_cache_dir", ""):
-        enable_compile_cache(cfg.compile_cache_dir)
+    cache = getattr(cfg, "compile_cache_dir", "")
+    if cache == "auto":
+        cache = os.path.join(getattr(cfg, "save_root", "save"),
+                             getattr(cfg, "comment", "run"), "xla_cache")
+    if cache:
+        enable_compile_cache(cache)
     return cfg

@@ -26,6 +26,7 @@ from bilinear_tpu.eval.mpii_test_export import (
     make_export_step,
 )
 from bilinear_tpu.ops.joints import FROM_MPII_TO_H36M
+from bilinear_tpu.utils.residency import packed_device_put
 
 
 def convert_gt_to_sh(
@@ -42,7 +43,7 @@ def convert_gt_to_sh(
     splits = load_h36m(data_dir, "GT")
     # Pin weights on device once — the conversion loops over the whole
     # dataset and numpy trees re-upload per batch (see eval/pckh.py).
-    variables = jax.device_put(variables)
+    variables = packed_device_put(variables)
     step = make_export_step(model)
     written = {}
     for task in tasks:

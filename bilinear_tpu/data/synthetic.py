@@ -108,6 +108,7 @@ def make_mpii_mat(
     img_size=(240, 320),
     seed: int = 0,
     learnable: bool = False,
+    jitter: float = 3.0,
 ):
     """Build a RELEASE-shaped dict that scipy.io round-trips into the same
     attribute structure the official mpii_human_pose_v1_u12_1.mat loads as

@@ -19,6 +19,7 @@ from bilinear_tpu.data.mpii import MPIITestAnnotations, _as_list
 from bilinear_tpu.data.pipeline import MPIIHostPipeline
 from bilinear_tpu.ops.decode import argmax_decode, heatmap_to_image_space
 from bilinear_tpu.train.hourglass import preprocess_batch
+from bilinear_tpu.utils.residency import packed_device_put
 
 
 def make_export_step(model):
@@ -77,7 +78,7 @@ def export_predictions(
     pipeline = MPIIHostPipeline(annotations, batch_size, canvas=canvas, pad=True)
     # Pin weights on device once (see eval/pckh.py — numpy trees re-upload
     # per batch otherwise).
-    variables = jax.device_put(variables)
+    variables = packed_device_put(variables)
     step = make_export_step(model)
     exported = 0
     for batch in pipeline.epoch(0):

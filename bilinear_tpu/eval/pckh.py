@@ -24,6 +24,7 @@ from bilinear_tpu.ops.decode import argmax_decode, flip_average, heatmap_to_imag
 from bilinear_tpu.ops.joints import PCKH_KEYPOINTS, PCKH_REORDER
 from bilinear_tpu.train.hourglass import preprocess_batch
 from bilinear_tpu.utils.memo import memoize_factory
+from bilinear_tpu.utils.residency import packed_device_put
 
 
 @memoize_factory
@@ -70,7 +71,7 @@ def evaluate_pckh(
     # restored numpy trees, and passing those into the jitted step re-ships
     # every leaf on EVERY batch (measured seconds per dispatch for the 25M-
     # param detector through a slow host link; free if already on device).
-    variables = jax.device_put(variables)
+    variables = packed_device_put(variables)
     step = make_pckh_step(model, threshold)
     hit = np.zeros(14, np.int64)
     total = np.zeros(14, np.int64)

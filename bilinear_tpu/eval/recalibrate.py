@@ -15,6 +15,7 @@ import jax
 from bilinear_tpu.core.norm import reset_batch_stats
 from bilinear_tpu.train.hourglass import preprocess_batch
 from bilinear_tpu.utils.memo import memoize_factory
+from bilinear_tpu.utils.residency import packed_device_put
 
 
 @memoize_factory
@@ -50,7 +51,7 @@ def recalibrate(model, params, batch_stats, pipeline, max_batches=None):
     # One device transfer up front — a numpy params tree (the usual
     # checkpoint-restored form) would otherwise re-upload on every batch of
     # the recalibration pass (see eval/pckh.py).
-    params = jax.device_put(params)
+    params = packed_device_put(params)
     stats = reset_batch_stats(batch_stats)
     step = make_recalibrate_step(model)
     for i, batch in enumerate(pipeline.epoch(0)):

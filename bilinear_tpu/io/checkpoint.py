@@ -241,6 +241,39 @@ def resume_or_init(state_template, parameter_dir: Optional[str]):
     return state_template, 0
 
 
+def resume_or_init_fast(init_fn, rng, parameter_dir: Optional[str],
+                        pack: bool = True):
+    """resume_or_init without paying device-side init on the resume path.
+
+    The reference's outer drivers re-invoke python per epoch block
+    (bilinear.sh:1), so 39/19 of every budget run's invocations resume from
+    a checkpoint — and on a tunneled TPU the old path (eagerly init the full
+    state on device, then throw those values away and re-upload the restored
+    numpy tree leaf-by-leaf) costs minutes per invocation (measured ~100 ms
+    round-trip PER LEAF, ~1600 leaves at production hourglass size).
+
+    When a checkpoint exists, the state template is built abstractly with
+    ``jax.eval_shape`` (zero device work, no init compile) and the restored
+    numpy tree is uploaded as packed per-dtype buffers
+    (utils/residency.packed_device_put, ~11x faster). Only a genuinely fresh
+    run executes ``init_fn`` on device. ``pack=False`` returns host (numpy)
+    leaves for multi-process DP, where jit over the global mesh needs
+    replicatable host inputs.
+
+    Returns (state, start_epoch).
+    """
+    epoch = latest_epoch(parameter_dir)
+    if epoch > 0:
+        template = jax.eval_shape(init_fn, rng)
+        state = restore_state(template, load_checkpoint(parameter_dir, epoch))
+        if pack:
+            from bilinear_tpu.utils.residency import packed_device_put
+
+            state = packed_device_put(state)
+        return state, epoch
+    return init_fn(rng), 0
+
+
 def mark_finalized(parameter_dir: str, state) -> str:
     """Write the ``-1.save`` 'training over' sentinel (eval_hourglass.py:47-57)."""
     return save_checkpoint(parameter_dir, FINALIZED_EPOCH, state)

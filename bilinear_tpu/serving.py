@@ -34,7 +34,7 @@ from bilinear_tpu.io.checkpoint import (
     latest_epoch,
     load_checkpoint,
     restore_state,
-    resume_or_init,
+    resume_or_init_fast,
 )
 from bilinear_tpu.ops.pallas.lifting import lifting_forward, prepare_weights
 
@@ -182,9 +182,11 @@ class LiftingServer:
         from bilinear_tpu.train.bilinear import BilinearTrainer
 
         trainer = BilinearTrainer()
-        template = trainer.init_state(jax.random.PRNGKey(0))
         parameter_dir = os.path.join(run_dir, "parameter")
-        state, epoch = resume_or_init(template, parameter_dir)
+        state, epoch = resume_or_init_fast(
+            trainer.init_state, jax.random.PRNGKey(0), parameter_dir,
+            pack=False,  # __init__ commits weights to device itself
+        )
         if epoch == 0:
             raise FileNotFoundError(
                 f"no checkpoint under {parameter_dir!r} — refusing to serve "
@@ -380,11 +382,13 @@ class End2EndServer:
         param program through a 50 MB/s host link, dwarfing the 0.6 ms of
         compute. Mesh mode commits them replicated so GSPMD doesn't
         re-place them either."""
+        from bilinear_tpu.utils.residency import packed_device_put
+
         if self._mesh is None:
-            return jax.device_put(variables)
+            return packed_device_put(variables)
         from bilinear_tpu.parallel.mesh import replicated
 
-        return jax.device_put(variables, replicated(self._mesh))
+        return packed_device_put(variables, replicated(self._mesh))
 
     @classmethod
     def from_run_dir(cls, run_dir: str, split: H36MSplit, variant="torch7",
@@ -397,9 +401,11 @@ class End2EndServer:
         trainer = End2EndTrainer(variant=variant, model_kw=model_kw)
         mean = jnp.asarray(split.mean_part)
         std = jnp.asarray(split.std_part)
-        template = trainer.init_state(jax.random.PRNGKey(0), mean, std)
         parameter_dir = os.path.join(run_dir, "parameter")
-        state, epoch = resume_or_init(template, parameter_dir)
+        state, epoch = resume_or_init_fast(
+            lambda k: trainer.init_state(k, mean, std), jax.random.PRNGKey(0),
+            parameter_dir, pack=False,  # __init__ commits weights to device
+        )
         if epoch == 0:
             raise FileNotFoundError(
                 f"no checkpoint under {parameter_dir!r} — refusing to serve "

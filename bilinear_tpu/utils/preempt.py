@@ -38,20 +38,29 @@ class GracefulShutdown:
         self._signals = signals
         self._previous = {}
         self.requested = False
+        self._pending_signame = None  # logged from the main loop; logging
+        # is not async-signal-safe, so the handler only sets flags (a signal
+        # landing mid-emit could interleave with the trainer's own logging)
 
     def _handle(self, signum, frame):
         self.requested = True
-        if self._logger is not None:
-            self._logger.info(
-                "%s received - finishing the current epoch, checkpointing, "
-                "then exiting (auto-resume continues from there)",
-                signal.Signals(signum).name,
-            )
+        self._pending_signame = signal.Signals(signum).name
         # Re-arm the previous handler: a second signal is an actual kill.
         # signal.signal() reports None for handlers installed by C code
         # (e.g. a runtime plugin) — fall back to the default disposition.
         prev = self._previous.get(signum) or signal.SIG_DFL
         signal.signal(signum, prev)
+
+    def log_pending(self) -> None:
+        """Emit the deferred 'preemption received' line (main-thread-safe);
+        called by the trainers at their next epoch-end check."""
+        if self._pending_signame and self._logger is not None:
+            self._logger.info(
+                "%s received - finishing the current epoch, checkpointing, "
+                "then exiting (auto-resume continues from there)",
+                self._pending_signame,
+            )
+            self._pending_signame = None
 
     def __enter__(self):
         for s in self._signals:

@@ -42,6 +42,8 @@ class Timer:
         self.steps = 0
         self.items = 0
         self.elapsed = 0.0
+        self.last_elapsed = 0.0
+        self.last_items = 0
 
     def start(self):
         self.t0 = time.perf_counter()
@@ -52,7 +54,9 @@ class Timer:
             leaves = jax.tree.leaves(result)
             if leaves:
                 jax.device_get(jax.tree.leaves(result)[0])
-        self.elapsed += time.perf_counter() - self.t0
+        self.last_elapsed = time.perf_counter() - self.t0
+        self.last_items = items
+        self.elapsed += self.last_elapsed
         self.steps += 1
         self.items += items
 
@@ -63,6 +67,13 @@ class Timer:
     @property
     def items_per_sec(self) -> float:
         return self.items / self.elapsed if self.elapsed else 0.0
+
+    @property
+    def last_items_per_sec(self) -> float:
+        """Rate of the most recent start/stop interval only — per-epoch
+        throughput that is not dragged down by epoch 1's first-time compile
+        (250-580 s on tunneled platforms) the way the cumulative average is."""
+        return self.last_items / self.last_elapsed if self.last_elapsed else 0.0
 
 
 def mix(x: jnp.ndarray, eps) -> jnp.ndarray:
