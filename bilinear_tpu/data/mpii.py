@@ -66,7 +66,9 @@ class MPIIAnnotations:
         subset_path = os.path.join(root, f"MPII-{task}.txt")
         if not os.path.exists(subset_path):
             self.refresh_subset(seed=split_seed)
-        self.subset = np.atleast_2d(np.loadtxt(subset_path, dtype=np.int32))
+        # reshape(-1, 2), not atleast_2d: an EMPTY split file must yield 0
+        # records, not one phantom (1, 0) row (pinned by test_schema_fuzz).
+        self.subset = np.loadtxt(subset_path, dtype=np.int32).reshape(-1, 2)
 
     # ------------------------------------------------------------- split
     def refresh_subset(self, train_fraction: float = 0.9, seed: Optional[int] = None):
@@ -111,11 +113,22 @@ class MPIIAnnotations:
         keypoints = np.full((NUM_JOINTS, 2), np.nan, np.float32)
         valid = np.zeros(NUM_JOINTS, bool)
         points = getattr(getattr(rect, "annopoints", None), "point", None)
-        if points is not None:
-            for kp in _as_list(points):
-                j = int(kp.id)
-                keypoints[j] = [float(kp.x), float(kp.y)]
-                valid[j] = True
+        if points is None:
+            # The split probe only checks objpos (refresh_subset, matching
+            # MPII/data.py:52-57), so a train-split rect can reach here with
+            # no keypoints at all. The reference crashes on such a rect
+            # (MPII/data.py:104 AttributeError); an all-invalid record would
+            # silently train on an all-zero heatmap target instead. Reject
+            # loudly — pinned by tests/test_schema_fuzz.py.
+            raise ValueError(
+                f"MPII rect (img {img_idx}, rect {r_idx}) is in the split "
+                "(objpos intact) but has no annopoints; regenerate the "
+                "split or fix the annotation"
+            )
+        for kp in _as_list(points):
+            j = int(kp.id)
+            keypoints[j] = [float(kp.x), float(kp.y)]
+            valid[j] = True
 
         return MPIIRecord(
             image_name=str(anno.image.name),

@@ -117,10 +117,18 @@ def make_mpii_mat(
     single_person.
 
     ``learnable=True`` places every rect's keypoints on the body-structured
-    MPII_TEMPLATE (small per-joint jitter, all 16 joints annotated, one rect
+    MPII_TEMPLATE (per-joint jitter, all 16 joints annotated, one rect
     per image) so that images rendered from these annotations carry a
     visually learnable pose signal; default keypoints are positionally
-    random, which is schema-exact but unlearnable by construction."""
+    random, which is schema-exact but unlearnable by construction.
+
+    ``jitter`` (units of ``scale`` px, i.e. relative to the 200*scale person
+    box) is the per-joint pose variance around the template, clipped at
+    2*jitter like the reference's augment rand (MPII/util.py:10-11). At the
+    default 3.0 the template prior alone localizes every joint well inside
+    the PCKh@0.5 threshold (15*scale px with this generator's head rect), so
+    a detector can saturate PCKh without reading the image; raising it to
+    ~20 makes the prior worth only ~25% PCKh and forces marker reading."""
     rng = np.random.RandomState(seed)
     h, w = img_size
     annolist = []
@@ -140,10 +148,11 @@ def make_mpii_mat(
                 cx = float(rng.uniform(w * 0.3, w * 0.7))
                 cy = float(rng.uniform(h * 0.3, h * 0.7))
             if learnable:
+                noise = np.clip(rng.randn(16, 2), -2.0, 2.0).astype(np.float32)
                 kp = (
                     np.asarray([cx, cy], np.float32)
                     + MPII_TEMPLATE * 100.0 * scale
-                    + rng.randn(16, 2).astype(np.float32) * 3.0 * scale
+                    + noise * jitter * scale
                 )
                 ids = np.arange(16)
                 points = [
@@ -194,7 +203,28 @@ def make_mpii_mat(
     }
 
 
-def _render_markers(img: np.ndarray, rects, colors: np.ndarray) -> None:
+def _stamp_marker(img, x, y, j, ring, colors) -> None:
+    """One concentric-ring "bullseye" marker (in place)."""
+    h, w, _ = img.shape
+    dark = np.asarray([25, 25, 25], np.uint8)
+    white = np.asarray([255, 255, 255], np.uint8)
+    bits = [(j >> b) & 1 for b in (3, 2, 1, 0)]  # outer -> inner
+    radii = [ring * k for k in (5, 4, 3, 2, 1)]
+    fills = [colors[j] if b else dark for b in bits] + [white]
+    x0, x1 = int(max(0, x - radii[0] - 1)), int(min(w, x + radii[0] + 2))
+    y0, y1 = int(max(0, y - radii[0] - 1)), int(min(h, y + radii[0] + 2))
+    if x0 >= x1 or y0 >= y1:
+        return
+    yy, xx = np.mgrid[y0:y1, x0:x1]
+    d2 = (xx - x) ** 2 + (yy - y) ** 2
+    patch = img[y0:y1, x0:x1]
+    for r, fill in zip(radii, fills):
+        patch[d2 <= r * r] = fill
+
+
+def _render_markers(img: np.ndarray, rects, colors: np.ndarray,
+                    rng=None, occlusion_prob: float = 0.0,
+                    n_distractors: int = 0) -> None:
     """Stamp a concentric-ring "bullseye" marker at every annotated joint of
     every rect (in place). Joint identity is encoded in the LUMINANCE
     pattern: 4 rings (outer to inner) carry the 4 bits of the joint id —
@@ -205,27 +235,44 @@ def _render_markers(img: np.ndarray, rects, colors: np.ndarray) -> None:
     hue-coded variant plateaued at ~18% PCKh under jitter vs ~42%+ without).
     Bright rings use the joint's hue so color remains a secondary cue. Ring
     width scales with the person scale, so on-crop marker size is stable
-    after the 200*scale->256 crop."""
+    after the 200*scale->256 crop.
+
+    Difficulty knobs (both keep the .mat annotations untouched, so occluded
+    joints still count in the PCKh denominator — exactly how invisible real
+    joints behave):
+
+    - ``occlusion_prob``: each joint's marker is skipped with this
+      probability. No detector can localize a skipped joint beyond the pose
+      prior, which caps attainable PCKh at
+      (1-p)*100 + p*prior — a DESIGNED-IN ceiling below saturation.
+    - ``n_distractors``: decoy markers with random joint ids stamped at
+      random in-figure positions, each >= 45*scale px from the true joint of
+      the same id (3x the PCKh threshold, so locking onto a decoy is a
+      definite miss and body-layout context is required to disambiguate).
+    """
     h, w, _ = img.shape
-    dark = np.asarray([25, 25, 25], np.uint8)
-    white = np.asarray([255, 255, 255], np.uint8)
     for rect in rects:
         scale = float(rect["scale"])
         ring = max(1.3, 2.0 * scale)
-        for pt in rect["annopoints"]["point"]:
-            x, y, j = float(pt["x"]), float(pt["y"]), int(pt["id"])
-            bits = [(j >> b) & 1 for b in (3, 2, 1, 0)]  # outer -> inner
-            radii = [ring * k for k in (5, 4, 3, 2, 1)]
-            fills = [colors[j] if b else dark for b in bits] + [white]
-            x0, x1 = int(max(0, x - radii[0] - 1)), int(min(w, x + radii[0] + 2))
-            y0, y1 = int(max(0, y - radii[0] - 1)), int(min(h, y + radii[0] + 2))
-            if x0 >= x1 or y0 >= y1:
+        pts = rect["annopoints"]["point"]
+        true_xy = {int(p["id"]): (float(p["x"]), float(p["y"])) for p in pts}
+        cx = float(rect["objpos"]["x"])
+        cy = float(rect["objpos"]["y"])
+        for pt in pts:
+            if rng is not None and occlusion_prob > 0.0 \
+                    and rng.rand() < occlusion_prob:
                 continue
-            yy, xx = np.mgrid[y0:y1, x0:x1]
-            d2 = (xx - x) ** 2 + (yy - y) ** 2
-            patch = img[y0:y1, x0:x1]
-            for r, fill in zip(radii, fills):
-                patch[d2 <= r * r] = fill
+            _stamp_marker(img, float(pt["x"]), float(pt["y"]),
+                          int(pt["id"]), ring, colors)
+        for _ in range(n_distractors if rng is not None else 0):
+            j = int(rng.randint(16))
+            for _attempt in range(20):
+                dx = cx + rng.uniform(-60, 60) * scale
+                dy = cy + rng.uniform(-110, 110) * scale
+                tx, ty = true_xy.get(j, (1e9, 1e9))
+                if (dx - tx) ** 2 + (dy - ty) ** 2 >= (45.0 * scale) ** 2:
+                    _stamp_marker(img, dx, dy, j, ring, colors)
+                    break
 
 
 def write_mpii_dataset(
@@ -235,20 +282,33 @@ def write_mpii_dataset(
     img_size=(240, 320),
     seed: int = 0,
     learnable: bool = False,
+    jitter: float = 3.0,
+    occlusion_prob: float = 0.0,
+    n_distractors: int = 0,
 ) -> str:
     """Write a synthetic MPII tree: images/ + the .mat at the official
     relative path. With ``learnable=True`` the keypoints follow the
     body-structured template AND are rendered into the images as distinct
     markers, so a detector trained on this tree can actually localize them
     (PCKh above chance); the default is schema-exact noise (contract tests
-    only — keypoints are not visually encoded)."""
+    only — keypoints are not visually encoded).
+
+    The difficulty knobs (``jitter`` — pose variance around the template;
+    ``occlusion_prob`` — markers skipped at render time; ``n_distractors`` —
+    decoy markers needing layout context to reject; see make_mpii_mat and
+    _render_markers) exist because the default learnable task SATURATES: the
+    production 8-stack detector hits PCKh 100.0 by its first validation,
+    leaving the metric no discriminative power. With jitter=20,
+    occlusion_prob=0.25, n_distractors=4 the designed-in ceiling is
+    0.75*100 + 0.25*~25 ~= 81 PCKh, and the prior-only floor is ~25, so a
+    production budget run shows an actual learning curve."""
     import scipy.io
     from PIL import Image
 
     os.makedirs(os.path.join(root, "images"), exist_ok=True)
     os.makedirs(os.path.join(root, "mpii_human_pose_v1_u12_2"), exist_ok=True)
     mat = make_mpii_mat(n_train_images, n_test_images, img_size, seed,
-                        learnable=learnable)
+                        learnable=learnable, jitter=jitter)
     scipy.io.savemat(
         os.path.join(root, "mpii_human_pose_v1_u12_2", "mpii_human_pose_v1_u12_1.mat"),
         mat,
@@ -267,7 +327,9 @@ def write_mpii_dataset(
         img = Image.fromarray(small).resize((w, h), Image.BILINEAR)
         if learnable:
             arr = np.asarray(img).copy()
-            _render_markers(arr, list(annolist[i]["annorect"]), colors)
+            _render_markers(arr, list(annolist[i]["annorect"]), colors,
+                            rng=rng, occlusion_prob=occlusion_prob,
+                            n_distractors=n_distractors)
             img = Image.fromarray(arr)
         img.save(os.path.join(root, "images", f"{i:09d}.jpg"), quality=92)
     return root
