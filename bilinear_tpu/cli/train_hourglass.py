@@ -66,6 +66,7 @@ def main(argv=None) -> None:
         n_stacks=cfg.n_stacks,
         features=cfg.features,
         depth=cfg.depth,
+        n_modules=cfg.n_modules,
         fused_blocks=cfg.fused_blocks,
     )
     state, start_epoch = resume_or_init_fast(

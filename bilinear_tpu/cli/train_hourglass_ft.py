@@ -63,6 +63,7 @@ def main(argv=None) -> None:
         n_stacks=cfg.n_stacks,
         features=cfg.features,
         depth=cfg.depth,
+        n_modules=cfg.n_modules,
     )
     state, start_epoch = resume_or_init_fast(
         trainer.init_state, jax.random.PRNGKey(cfg.seed), parameter_dir,

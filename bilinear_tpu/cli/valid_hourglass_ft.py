@@ -56,7 +56,8 @@ def main(argv=None) -> None:
 
     trainer = HourglassTrainer(variant=cfg.variant, batch_size=cfg.batch_size,
                                n_stacks=cfg.n_stacks, features=cfg.features,
-                               depth=cfg.depth)
+                               depth=cfg.depth,
+                               n_modules=cfg.n_modules)
     state, epoch = resume_or_init_fast(
         trainer.init_state, jax.random.PRNGKey(cfg.seed), parameter_dir
     )

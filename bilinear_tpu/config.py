@@ -87,6 +87,8 @@ class HourglassConfig:
     n_stacks: int = 8
     features: int = 256
     depth: int = 4
+    n_modules: int = 1  # ResModules per hourglass slot (the reference's
+    # CONFIG.nModules, model/hourglass_torch7.py:9,47-49,58)
     fused_blocks: bool = False  # Pallas whole-block ResModules (torch7 only;
     # same checkpoint tree, VMEM-resident fwd+bwd — ops/pallas/resmodule.py)
     keep_checkpoints: int = 0  # prune to the newest N epoch checkpoints

@@ -108,13 +108,19 @@ class ResUnit(nn.Module):
 
 
 class Hourglass(nn.Module):
-    """Loop-structured encoder/decoder (model/hourglass.py:55-89)."""
+    """Loop-structured encoder/decoder (model/hourglass.py:55-89).
+
+    ``n_modules`` chains that many ResUnits per slot — the preact analogue
+    of the torch7 variant's CONFIG.nModules (the reference's hourglass.py
+    has no such knob; 1 is the faithful default). Module 0 keeps the bare
+    slot name so existing n_modules=1 checkpoints are unchanged."""
 
     channels: int
     compression_time: int = 4
     momentum: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
     quantize: Optional[str] = None
+    n_modules: int = 1
 
     @nn.compact
     def __call__(self, x, *, train: bool, momentum="__unset__"):
@@ -123,19 +129,24 @@ class Hourglass(nn.Module):
         kw = dict(momentum=self.momentum, dtype=self.dtype,
                   quantize=self.quantize)
         c = self.channels
+
+        def chain(slot, h):
+            for k in range(self.n_modules):
+                name = slot if k == 0 else f"{slot}_m{k}"
+                h = ResUnit(c, c, name=name, **kw)(h, train=train, momentum=momentum)
+            return h
+
         skips = []
         h = x
         for t in range(self.compression_time):
-            skips.append(
-                ResUnit(c, c, name=f"skip_{t}", **kw)(h, train=train, momentum=momentum)
-            )
+            skips.append(chain(f"skip_{t}", h))
             h = nn.max_pool(h, (2, 2), strides=(2, 2))
-            h = ResUnit(c, c, name=f"down_{t}", **kw)(h, train=train, momentum=momentum)
+            h = chain(f"down_{t}", h)
 
-        h = ResUnit(c, c, name="waist", **kw)(h, train=train, momentum=momentum)
+        h = chain("waist", h)
 
         for t, skip in zip(range(self.compression_time), reversed(skips)):
-            h = ResUnit(c, c, name=f"up_{t}", **kw)(h, train=train, momentum=momentum)
+            h = chain(f"up_{t}", h)
             h = jnp.repeat(jnp.repeat(h, 2, axis=-3), 2, axis=-2)
             h = h + skip
         return h
@@ -175,6 +186,8 @@ class StackedHourglass(nn.Module):
     momentum: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
     quantize: Optional[str] = None  # "int8": eval/serving-only (ops/int8.py)
+    n_modules: int = 1  # ResUnits per hourglass slot (torch7 CONFIG.nModules
+    # analogue; the reference preact variant has no such knob, default 1)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, momentum="__unset__"):
@@ -198,7 +211,7 @@ class StackedHourglass(nn.Module):
             prev_tensor = h
             h = Hourglass(
                 self.out_channels, self.compression_time, self.momentum,
-                self.dtype, self.quantize, name=f"hg_{i}",
+                self.dtype, self.quantize, self.n_modules, name=f"hg_{i}",
             )(h, train=train, momentum=momentum)
             h = PrevHead(self.out_channels, self.momentum, self.dtype,
                          self.quantize, name=f"prev_{i}")(

@@ -218,7 +218,12 @@ class ResModule(nn.Module):
 
 
 class Hourglass(nn.Module):
-    """Recursive encoder/decoder (model/hourglass_torch7.py:42-75)."""
+    """Recursive encoder/decoder (model/hourglass_torch7.py:42-75).
+
+    ``n_modules`` chains that many ResModules per slot (the reference's
+    CONFIG.nModules Sequential at :47-49,58). Module 0 keeps the bare slot
+    name so nModules=1 trees — every existing checkpoint — are unchanged;
+    extras are ``{slot}_m{k}``, mapping to torch's ``{slot}.{k}``."""
 
     depth: int
     features: int = N_FEATURES
@@ -226,6 +231,7 @@ class Hourglass(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
     quantize: Optional[str] = None
+    n_modules: int = 1
 
     @nn.compact
     def __call__(self, x, *, train: bool, momentum="__unset__"):
@@ -233,25 +239,26 @@ class Hourglass(nn.Module):
             momentum = self.momentum
         kw = dict(momentum=self.momentum, dtype=self.dtype, fused=self.fused,
                   quantize=self.quantize)
-        up = ResModule(self.features, self.features, name="res1", **kw)(
-            x, train=train, momentum=momentum
-        )
+
+        def chain(slot: str, h):
+            for k in range(self.n_modules):
+                name = slot if k == 0 else f"{slot}_m{k}"
+                h = ResModule(self.features, self.features, name=name, **kw)(
+                    h, train=train, momentum=momentum
+                )
+            return h
+
+        up = chain("res1", x)
         low = nn.max_pool(x, (2, 2), strides=(2, 2))
-        low = ResModule(self.features, self.features, name="res2", **kw)(
-            low, train=train, momentum=momentum
-        )
+        low = chain("res2", low)
         if self.depth > 1:
             low = Hourglass(
                 self.depth - 1, self.features, self.momentum, self.dtype,
-                self.fused, self.quantize, name="sub",
+                self.fused, self.quantize, self.n_modules, name="sub",
             )(low, train=train, momentum=momentum)
         else:
-            low = ResModule(self.features, self.features, name="waist", **kw)(
-                low, train=train, momentum=momentum
-            )
-        low = ResModule(self.features, self.features, name="res3", **kw)(
-            low, train=train, momentum=momentum
-        )
+            low = chain("waist", low)
+        low = chain("res3", low)
         # UpsamplingNearest2d(scale_factor=2)
         low = jnp.repeat(jnp.repeat(low, 2, axis=-3), 2, axis=-2)
         return up + low
@@ -289,6 +296,9 @@ class MainModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused: bool = False  # whole-block Pallas ResModules (ops/pallas/resmodule)
     quantize: Optional[str] = None  # "int8": eval/serving-only (ops/int8.py)
+    n_modules: int = 1  # ResModules per hourglass slot (CONFIG.nModules,
+    # model/hourglass_torch7.py:9,47-49,58); the stem/heads are unaffected,
+    # exactly as in the reference
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, momentum="__unset__"):
@@ -314,7 +324,7 @@ class MainModel(nn.Module):
         for i in range(self.n_stacks):
             ll = Hourglass(
                 self.depth, self.features, self.momentum, self.dtype,
-                self.fused, self.quantize, name=f"hg_{i}",
+                self.fused, self.quantize, self.n_modules, name=f"hg_{i}",
             )(inter, train=train, momentum=momentum)
             ll = Lin(self.features, self.momentum, self.dtype, name=f"lin_{i}")(
                 ll, train=train, momentum=momentum

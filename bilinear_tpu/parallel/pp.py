@@ -112,11 +112,13 @@ class StackBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
     quantize: Optional[str] = None
+    n_modules: int = 1
 
     @nn.compact
     def __call__(self, inter) -> Tuple[jnp.ndarray, jnp.ndarray]:
         ll = Hourglass(self.depth, self.features, dtype=self.dtype,
                        fused=self.fused, quantize=self.quantize,
+                       n_modules=self.n_modules,
                        name="hg")(inter, train=False)
         ll = Lin(self.features, dtype=self.dtype, name="lin")(
             ll, train=False

@@ -38,7 +38,8 @@ from bilinear_tpu.parallel import mesh as mesh_lib
 
 
 def make_model(variant: str = "torch7", dtype=jnp.float32,
-               n_stacks=None, features=None, depth=None, fused=False):
+               n_stacks=None, features=None, depth=None, fused=False,
+               n_modules=None):
     """'torch7' = the network train_hourglass.py trains; 'preact' = the
     re-implementation train_hourglass_FT.py fine-tunes. Size overrides
     (None = reference defaults: 8 stacks, 256 features, depth 4) enable tiny
@@ -52,6 +53,8 @@ def make_model(variant: str = "torch7", dtype=jnp.float32,
             kw["features"] = features
         if depth is not None:
             kw["depth"] = depth
+        if n_modules is not None:
+            kw["n_modules"] = n_modules
         return MainModel(dtype=dtype, fused=fused, **kw)
     if variant == "preact":
         kw = {}
@@ -61,6 +64,8 @@ def make_model(variant: str = "torch7", dtype=jnp.float32,
             kw["out_channels"] = features
         if depth is not None:
             kw["compression_time"] = depth
+        if n_modules is not None:
+            kw["n_modules"] = n_modules
         return StackedHourglass(dtype=dtype, **kw)
     raise ValueError(f"unknown hourglass variant {variant!r}")
 
@@ -124,13 +129,15 @@ class HourglassTrainer:
         features=None,
         depth=None,
         fused_blocks: bool = False,  # Pallas whole-block ResModules (torch7)
+        n_modules=None,  # ResModules per hourglass slot (CONFIG.nModules)
     ):
         self.variant = variant
         self.batch_size = batch_size
         self.mesh = mesh
         self.canvas = canvas
         self.model = make_model(
-            variant, dtype, n_stacks, features, depth, fused=fused_blocks
+            variant, dtype, n_stacks, features, depth, fused=fused_blocks,
+            n_modules=n_modules,
         )
         self.tx = hourglass_optimizer(learning_rate)
         self.joint_remap = joint_remap

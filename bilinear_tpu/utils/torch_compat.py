@@ -176,10 +176,21 @@ def load_reference_bilinear_checkpoint(path: str, template_state):
 def hourglass_torch7_from_torch(state_dict: Mapping[str, Any], n_stacks: int = 8,
                                 n_depth: int = 4):
     """Reference MainModel state_dict (model/hourglass_torch7.py:80-105) ->
-    (params, batch_stats) for models.hourglass_torch7.MainModel."""
+    (params, batch_stats) for models.hourglass_torch7.MainModel.
+
+    nModules (CONFIG.nModules Sequentials at :47-49,58) is auto-detected
+    from the state_dict, so reference checkpoints trained at ANY nModules
+    import losslessly; build the target model with the same n_modules."""
     sd = dict(state_dict)
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
+
+    n_modules = 1
+    while f"hgArray.0.res1.{n_modules}.resSeq.0.weight" in sd:
+        n_modules += 1
+
+    def slot_name(slot: str, k: int) -> str:
+        return slot if k == 0 else f"{slot}_m{k}"
 
     def res_module(ours: Tuple[str, ...], theirs: str):
         # ResModule: conv_skip + resSeq = BN,ReLU,Conv1,BN,ReLU,Conv3,BN,ReLU,Conv1
@@ -193,13 +204,16 @@ def hourglass_torch7_from_torch(state_dict: Mapping[str, Any], n_stacks: int = 8
         _convert_conv(params, ours + ("conv3",), theirs + ".resSeq.8", sd)
 
     def hourglass(ours: Tuple[str, ...], theirs: str, depth: int):
-        res_module(ours + ("res1",), theirs + ".res1.0")
-        res_module(ours + ("res2",), theirs + ".res2.0")
-        res_module(ours + ("res3",), theirs + ".res3.0")
+        for k in range(n_modules):
+            res_module(ours + (slot_name("res1", k),), theirs + f".res1.{k}")
+            res_module(ours + (slot_name("res2", k),), theirs + f".res2.{k}")
+            res_module(ours + (slot_name("res3", k),), theirs + f".res3.{k}")
         if depth > 1:
             hourglass(ours + ("sub",), theirs + ".subHourglass", depth - 1)
         else:
-            res_module(ours + ("waist",), theirs + ".resWaist.0")
+            for k in range(n_modules):
+                res_module(ours + (slot_name("waist", k),),
+                           theirs + f".resWaist.{k}")
 
     # Stem: Conv7x7, BN, ReLU, ResModule, MaxPool, ResModule, ResModule
     _convert_conv(params, ("stem_conv",), "beforeHourglass.0", sd)
@@ -392,15 +406,27 @@ def hourglass_torch7_to_torch_state(params, batch_stats) -> _TorchExport:
         ex.bn(ours + ("bn3",), theirs + ".resSeq.6")
         ex.conv(ours + ("conv3",), theirs + ".resSeq.8")
 
+    n_modules = 1
+    while f"res1_m{n_modules}" in params["hg_0"]:
+        n_modules += 1
+
+    def slot_name(slot, k):
+        return slot if k == 0 else f"{slot}_m{k}"
+
     def hourglass(ours, theirs, d):
-        res_module(ours + ("res1",), theirs + ".res1.0", features, features)
-        res_module(ours + ("res2",), theirs + ".res2.0", features, features)
-        res_module(ours + ("res3",), theirs + ".res3.0", features, features)
+        # torch registers each Sequential wholesale (res1.0..res1.{n-1},
+        # then res2.*, then res3.*) — emission must follow that order.
+        for slot, t_slot in (("res1", "res1"), ("res2", "res2"),
+                             ("res3", "res3")):
+            for k in range(n_modules):
+                res_module(ours + (slot_name(slot, k),),
+                           theirs + f".{t_slot}.{k}", features, features)
         if d > 1:
             hourglass(ours + ("sub",), theirs + ".subHourglass", d - 1)
         else:
-            res_module(ours + ("waist",), theirs + ".resWaist.0",
-                       features, features)
+            for k in range(n_modules):
+                res_module(ours + (slot_name("waist", k),),
+                           theirs + f".resWaist.{k}", features, features)
 
     ex.conv(("stem_conv",), "beforeHourglass.0")
     ex.bn(("stem_bn",), "beforeHourglass.1")

@@ -148,3 +148,54 @@ def test_torch7_param_count_close(torch7_pair):
     assert used <= converted
     extra = converted - used
     assert all("conv_skip" in e for e in extra)
+
+
+def test_torch7_forward_parity_nmodules2():
+    """CONFIG.nModules=2 (model/hourglass_torch7.py:9,47-49,58): reference
+    checkpoints at nModules>1 must import losslessly (auto-detected) and the
+    converted forward must match the torch oracle; the export direction must
+    round-trip every used key back into the reference model."""
+    ref = load_reference_module("model/hourglass_torch7.py", "ref_hg_t7_m2")
+    ref.CONFIG.nStacks = 1
+    ref.CONFIG.nFeatures = 32
+    ref.CONFIG.nDepth = 2
+    ref.CONFIG.nModules = 2
+    torch.manual_seed(1)
+    tm = ref.MainModel()
+    _randomize_bn(tm)
+    tm.eval()
+
+    params, stats = hourglass_torch7_from_torch(
+        tm.state_dict(), n_stacks=1, n_depth=2
+    )
+    # the detector found the second module of every slot
+    assert "res1_m1" in params["hg_0"] and "waist_m1" in params["hg_0"]["sub"]
+
+    ours = MainModel(n_stacks=1, features=32, depth=2, n_modules=2)
+    x = np.random.RandomState(1).rand(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(torch.from_numpy(x))
+    out = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0]).transpose(0, 3, 1, 2),
+        ref_out[0].numpy(), rtol=2e-4, atol=2e-4,
+    )
+
+    # Export round-trip: our tree -> reference state_dict -> torch model.
+    from bilinear_tpu.utils.torch_compat import hourglass_torch7_to_torch_state
+
+    ex = hourglass_torch7_to_torch_state(params, stats)
+    sd = tm.state_dict()
+    used = [k for k in sd if not (
+        k.endswith(("conv_skip.weight", "conv_skip.bias"))
+        and sd[k.rsplit(".", 2)[0] + ".conv_skip.weight"].shape[0]
+        == sd[k.rsplit(".", 2)[0] + ".conv_skip.weight"].shape[1]
+    )]
+    assert set(ex.sd) == set(sd)
+    for k in used:
+        np.testing.assert_allclose(np.asarray(ex.sd[k]), sd[k].numpy(),
+                                   rtol=1e-6, err_msg=k)
