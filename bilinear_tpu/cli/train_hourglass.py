@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +86,23 @@ def main(argv=None) -> None:
     rng = jax.random.PRNGKey(cfg.seed + 1)
     timer = Timer()
     shutdown = GracefulShutdown(logger)
+
+    # TB heatmap overlays (train_hourglass.py:84-89) as ONE jitted program
+    # over the device-resident state. An eager flax apply here costs minutes
+    # per epoch on a tunneled TPU (every op is a remote dispatch and numpy
+    # weights re-upload per op); jitted it is milliseconds after the (cached)
+    # first compile.
+    @jax.jit
+    def tb_overlay_forward(params, batch_stats, images, centers, scales,
+                           keypoints, valid):
+        crops, targets, _ = preprocess_batch(
+            jax.random.PRNGKey(0), images, centers, scales, keypoints,
+            valid, augment=False,
+        )
+        pred = trainer.model.apply(
+            {"params": params, "batch_stats": batch_stats}, crops, train=False
+        )
+        return crops, jnp.transpose(targets, (0, 2, 3, 1))[None], pred
     with shutdown:
         for epoch in range(start_epoch + 1, start_epoch + cfg.epochs_per_run + 1):
             timer.start()
@@ -96,33 +114,35 @@ def main(argv=None) -> None:
             loss = float(loss)  # host fetch: the epoch's work is done here
             timer.stop(items=len(annotations))
             if primary:  # checkpoint/TB/log are primary-only artifacts
+                t0 = time.time()
                 save_checkpoint(parameter_dir, epoch, state)
                 prune_checkpoints(parameter_dir, cfg.keep_checkpoints,
                                   cfg.keep_every)
+                t_save = time.time() - t0
                 writer.scalar("HG/loss", loss, int(state.step))
-                logger.info("Epoch %d saved (loss: %f, epoch %.1f img/s)",
-                            epoch, loss, timer.last_items_per_sec)
 
                 # Heatmap-overlay TB images, as in train_hourglass.py:84-89.
+                # In multi-process DP the state is host (numpy) leaves, so
+                # this stays a process-local program on process 0; single-
+                # process it consumes the device-resident state directly.
+                t0 = time.time()
                 batch = next(iter(pipeline.epoch(epoch)))
-                crops, targets, _ = preprocess_batch(
-                    jax.random.PRNGKey(0), jnp.asarray(batch.images),
-                    jnp.asarray(batch.centers), jnp.asarray(batch.scales),
-                    jnp.asarray(batch.keypoints), jnp.asarray(batch.valid),
-                    augment=False,
+                crops, tgt, pred = tb_overlay_forward(
+                    state.params, state.batch_stats,
+                    jnp.asarray(batch.images), jnp.asarray(batch.centers),
+                    jnp.asarray(batch.scales), jnp.asarray(batch.keypoints),
+                    jnp.asarray(batch.valid),
                 )
-                # device_get -> numpy so this stays a process-local program
-                # (in distributed mode only process 0 runs it; global-array
-                # inputs would require all processes to participate).
-                variables = jax.device_get(
-                    {"params": state.params, "batch_stats": state.batch_stats}
-                )
-                pred = trainer.model.apply(variables, crops, train=False)
-                tgt = jnp.transpose(targets, (0, 2, 3, 1))[None]
                 writer.image(f"{comment}/train/ground-truth",
                              heatmap_overlay(crops, tgt), int(state.step))
                 writer.image(f"{comment}/train/prediction",
                              heatmap_overlay(crops, pred), int(state.step))
+                logger.info(
+                    "Epoch %d saved (loss: %f, epoch %.1f img/s, "
+                    "ckpt %.1fs, tb %.1fs)",
+                    epoch, loss, timer.last_items_per_sec, t_save,
+                    time.time() - t0,
+                )
             # Multi-host runs agree on the flag (any signaled process stops
             # all), else the un-signaled rest hang in the next collectives.
             shutdown.log_pending()

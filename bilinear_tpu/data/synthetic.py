@@ -109,6 +109,9 @@ def make_mpii_mat(
     seed: int = 0,
     learnable: bool = False,
     jitter: float = 3.0,
+    scale_range=None,  # (lo, hi) raw person scale; defaults per mode. Big
+    # values (>2.05) exercise the reference's crop_ratio>=2 early-downscale
+    # path (H36M/util.py:38-52) — used by benchmarks/crop_ratio_probe.py.
 ):
     """Build a RELEASE-shaped dict that scipy.io round-trips into the same
     attribute structure the official mpii_human_pose_v1_u12_1.mat loads as
@@ -140,11 +143,13 @@ def make_mpii_mat(
         n_rects = 1 if learnable else 1 + int(rng.rand() < 0.5)
         for _ in range(n_rects):
             if learnable:
-                scale = float(rng.uniform(0.6, 0.9))
+                lo, hi = scale_range or (0.6, 0.9)
+                scale = float(rng.uniform(lo, hi))
                 cx = float(rng.uniform(w * 0.35, w * 0.65))
                 cy = float(rng.uniform(h * 0.4, h * 0.6))
             else:
-                scale = float(rng.uniform(0.5, 1.2))
+                lo, hi = scale_range or (0.5, 1.2)
+                scale = float(rng.uniform(lo, hi))
                 cx = float(rng.uniform(w * 0.3, w * 0.7))
                 cy = float(rng.uniform(h * 0.3, h * 0.7))
             if learnable:
@@ -285,6 +290,7 @@ def write_mpii_dataset(
     jitter: float = 3.0,
     occlusion_prob: float = 0.0,
     n_distractors: int = 0,
+    scale_range=None,
 ) -> str:
     """Write a synthetic MPII tree: images/ + the .mat at the official
     relative path. With ``learnable=True`` the keypoints follow the
@@ -308,7 +314,8 @@ def write_mpii_dataset(
     os.makedirs(os.path.join(root, "images"), exist_ok=True)
     os.makedirs(os.path.join(root, "mpii_human_pose_v1_u12_2"), exist_ok=True)
     mat = make_mpii_mat(n_train_images, n_test_images, img_size, seed,
-                        learnable=learnable, jitter=jitter)
+                        learnable=learnable, jitter=jitter,
+                        scale_range=scale_range)
     scipy.io.savemat(
         os.path.join(root, "mpii_human_pose_v1_u12_2", "mpii_human_pose_v1_u12_1.mat"),
         mat,

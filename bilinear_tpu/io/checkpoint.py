@@ -31,7 +31,13 @@ FINALIZED_EPOCH = -1
 
 
 def _to_numpy_state_dict(tree) -> Dict[str, Any]:
-    return jax.tree.map(np.asarray, serialization.to_state_dict(tree))
+    # jax.device_get pipelines the device->host fetches of the whole tree;
+    # a tree.map(np.asarray) fetches leaf-by-leaf SEQUENTIALLY, which on a
+    # tunneled TPU costs a round-trip per leaf (~2 min per production-size
+    # checkpoint save vs ~11 s pipelined — round-4 probe).
+    return jax.tree.map(
+        np.asarray, jax.device_get(serialization.to_state_dict(tree))
+    )
 
 
 _async_lock = threading.Lock()
