@@ -90,6 +90,7 @@ def main(argv=None) -> None:
             dtype=dtype, platforms=args.platforms,
             batch_sizes=args.batch_sizes,
             quantize=args.quantize or None,
+            calib_sample=train.part,  # z-scored train inputs (int8-static)
         )
     else:
         if args.quantize:

@@ -374,3 +374,93 @@ def write_h36m_dataset(
                 )
                 img.save(os.path.join(data_dir, subject, name), quality=90)
     return data_dir
+
+
+def write_h36m_learnable_dataset(
+    data_dir: str,
+    n_train: int = 512,
+    n_valid: int = 128,
+    rank: int = 5,
+    seed: int = 0,
+    img_size: int = 1000,
+    calibration_dir: str = "/root/reference/calibration",
+    camera: str = "54138969",
+) -> str:
+    """A geometrically-consistent, visually-learnable H36M tree for the full
+    SH protocol chain (SURVEY.md §3.5: detector -> sh_preprocess -> SH
+    lifting):
+
+    - 3D poses on a shared low-rank manifold (2D determines 3D, so the
+      lifting task has a near-zero floor, like tests/test_learnability.py);
+    - 2D 'part' via the real camera calibration + full distortion model
+      (data/h36m_generate.py — the reference's missing bin producer);
+    - images render the SAME bullseye markers an MPII-trained detector
+      reads, at each joint's projected pixel, with ids chosen so
+      sh_convert's FROM_MPII_TO_H36M gather lands every detection on the
+      H36M slot that survives the loader's nose deletion.
+    """
+    from PIL import Image
+
+    from bilinear_tpu.data.camera import load_camera
+    from bilinear_tpu.data.h36m import Task
+    from bilinear_tpu.data.h36m_generate import write_gt_bins
+    from bilinear_tpu.ops.joints import FROM_MPII_TO_H36M
+
+    struct = np.random.RandomState(seed + 1000)
+    base = struct.randn(17, 3) * 150
+    basis = struct.randn(rank, 17, 3) * 80
+
+    def poses(n, s):
+        z = np.random.RandomState(s).randn(n, rank)
+        out = base[None] + np.einsum("nr,rjd->njd", z, basis)
+        out[:, :, 2] += 5000.0
+        return out.astype(np.float32)
+
+    def names(n, tag):
+        return [f"S1_Posing.{camera}_{tag}{i:06d}.jpg" for i in range(n)]
+
+    cam = load_camera(calibration_dir, camera)
+    splits = {
+        Task.Train: {"S": poses(n_train, seed), "images": names(n_train, "t"),
+                     "camera": cam},
+        Task.Valid: {"S": poses(n_valid, seed + 1),
+                     "images": names(n_valid, "v"), "camera": cam},
+    }
+    write_gt_bins(data_dir, splits)
+
+    # MPII id m's marker goes to the H36M joint whose SH slot reads
+    # detection m and survives the nose deletion (slot 9 is deleted by the
+    # lifting loader, so only slot 10 consumes the duplicated thorax id 9).
+    mpii_to_h36m_slot = {}
+    for h, m in enumerate(FROM_MPII_TO_H36M):
+        if h == 9:
+            continue
+        mpii_to_h36m_slot[int(m)] = h
+    assert len(mpii_to_h36m_slot) == 16
+
+    colors = _joint_colors()
+    rng = np.random.RandomState(seed + 7)
+    import pickle
+
+    for task in (Task.Train, Task.Valid):
+        with open(os.path.join(data_dir, f"{task}_GT.bin"), "rb") as f:
+            bin_data = pickle.load(f)
+        for i, name in enumerate(bin_data["image"]):
+            subject = name.split("_")[0]
+            os.makedirs(os.path.join(data_dir, subject), exist_ok=True)
+            small = (rng.rand(img_size // 8, img_size // 8, 3) * 255)
+            small = (small * 0.35 + 20).astype(np.uint8)
+            img = Image.fromarray(small).resize(
+                (img_size, img_size), Image.BILINEAR
+            )
+            arr = np.asarray(img).copy()
+            part = np.asarray(bin_data["part"][i])  # (17, 2)
+            scale = float(bin_data["scale"][i])
+            ring = max(1.3, 2.0 * scale)
+            for m in range(16):
+                x, y = part[mpii_to_h36m_slot[m]]
+                _stamp_marker(arr, float(x), float(y), m, ring, colors)
+            Image.fromarray(arr).save(
+                os.path.join(data_dir, subject, name), quality=92
+            )
+    return data_dir

@@ -63,6 +63,7 @@ def export_lifting(
     platforms: Optional[Sequence[str]] = None,
     batch_sizes: Optional[Sequence[int]] = None,
     quantize: Optional[str] = None,
+    calib_sample=None,
 ) -> Dict[str, jax_export.Exported]:
     """Export the full lifting serving computation — image-space (b, 16, 2)
     keypoints -> z-score with train-split stats -> BilinearUnit ->
@@ -90,9 +91,16 @@ def export_lifting(
         )
 
         prepared = prepare_weights_int8(params, batch_stats)
-        # Standard normal IS the serving input distribution: lift z-scores
-        # with the train stats first (same calibration as LiftingServer).
-        calib = jax.random.normal(jax.random.PRNGKey(0), (4096, 32))
+        # Calibrate on the actual z-scored training inputs when the caller
+        # supplies them (same policy as LiftingServer); a standard-normal
+        # sample is the fallback surrogate (lift z-scores with the train
+        # stats first, so the marginals match by construction).
+        if calib_sample is not None:
+            calib = jnp.asarray(
+                np.asarray(calib_sample, np.float32).reshape(-1, 32)[:4096]
+            )
+        else:
+            calib = jax.random.normal(jax.random.PRNGKey(0), (4096, 32))
         forward = int8_static_forward(prepared, calibrate_scales(prepared, calib))
     elif quantize is not None:
         raise ValueError(

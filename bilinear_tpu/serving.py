@@ -68,18 +68,27 @@ class LiftingServer:
         interpret: bool = False,
         quantize: Optional[str] = None,
         mesh=None,
+        calib_sample: Optional[np.ndarray] = None,
     ):
         """``quantize="int8"`` switches the hidden layers to dynamic int8
         MXU matmuls (ops/pallas/lifting_int8.py) — ~2x the bf16 MAC peak on
         v5e-class chips at <0.1 mm MPJPE cost (tests/test_lifting_int8.py).
         ``quantize="int8-static"`` additionally bakes calibrated activation
         scales in as compile-time constants (~14% over dynamic int8 on-chip,
-        benchmarks/int8_scale_probe.py) — calibrated on a standard-normal
-        sample, which IS the serving input distribution because ``lift``
-        z-scores with the train stats; scales are re-calibrated (and the
-        program re-jitted, usually hitting the compile cache thanks to
-        3-significant-digit rounding) on checkpoint hot-reload.
-        Default (None) is the bf16 kernel.
+        benchmarks/int8_scale_probe.py). ``calib_sample`` is the calibration
+        batch — pass a z-scored sample of the ACTUAL training inputs
+        (from_run_dir uses ``split.part``), so the per-layer activation
+        ranges reflect the real pose distribution, not the standard-normal
+        assumption (scales from the two differ where the network's
+        activations are correlation-driven; tests/test_lifting_int8.py pins
+        the accuracy gate under data calibration). When None, a
+        standard-normal sample stands in — a reasonable surrogate because
+        ``lift`` z-scores with the train stats. Inputs whose activations
+        exceed the calibrated range SATURATE at +-127 (graceful clipping,
+        bounded error — not NaN/garbage; also pinned by the tests). Scales
+        are re-calibrated (and the program re-jitted, usually hitting the
+        compile cache thanks to 3-significant-digit rounding) on checkpoint
+        hot-reload. Default (None) is the bf16 kernel.
 
         ``mesh``: a ``jax.sharding.Mesh`` (parallel/mesh.py) for pod-scale
         offline lifting — the request batch is sharded over the 'data' axis
@@ -92,6 +101,9 @@ class LiftingServer:
         self._dtype = dtype
         self._interpret = interpret
         self._mesh = mesh
+        self._calib_sample = None if calib_sample is None else np.asarray(
+            calib_sample, np.float32
+        ).reshape(-1, 32)[:4096]
         if mesh is not None:
             from bilinear_tpu.parallel.mesh import DATA_AXIS
 
@@ -158,10 +170,15 @@ class LiftingServer:
 
             prepared = prepare_weights_int8(params, batch_stats)
             if self._quantize == "int8-static":
-                # The kernel's inputs are z-scored (lift() normalizes with
-                # the train stats), so a standard-normal sample IS the
-                # serving input distribution.
-                calib = jax.random.normal(jax.random.PRNGKey(0), (4096, 32))
+                # Prefer the actual (z-scored) training inputs; fall back
+                # to a standard-normal surrogate (lift() normalizes with
+                # the train stats, so the marginals match by construction).
+                if self._calib_sample is not None:
+                    calib = jnp.asarray(self._calib_sample)
+                else:
+                    calib = jax.random.normal(
+                        jax.random.PRNGKey(0), (4096, 32)
+                    )
                 static_scales = calibrate_scales(prepared, calib)
         else:
             prepared = prepare_weights(params, batch_stats, self._dtype)
@@ -187,11 +204,15 @@ class LiftingServer:
             trainer.init_state, jax.random.PRNGKey(0), parameter_dir,
             pack=False,  # __init__ commits weights to device itself
         )
+        # Abstract template (zero device work) — reload() restores numpy
+        # payloads onto its structure.
+        template = jax.eval_shape(trainer.init_state, jax.random.PRNGKey(0))
         if epoch == 0:
             raise FileNotFoundError(
                 f"no checkpoint under {parameter_dir!r} — refusing to serve "
                 "uninitialized weights"
             )
+        kw.setdefault("calib_sample", split.part)  # z-scored train inputs
         server = cls(
             state.params,
             state.batch_stats,
@@ -402,10 +423,12 @@ class End2EndServer:
         mean = jnp.asarray(split.mean_part)
         std = jnp.asarray(split.std_part)
         parameter_dir = os.path.join(run_dir, "parameter")
+        init_fn = lambda k: trainer.init_state(k, mean, std)
         state, epoch = resume_or_init_fast(
-            lambda k: trainer.init_state(k, mean, std), jax.random.PRNGKey(0),
+            init_fn, jax.random.PRNGKey(0),
             parameter_dir, pack=False,  # __init__ commits weights to device
         )
+        template = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
         if epoch == 0:
             raise FileNotFoundError(
                 f"no checkpoint under {parameter_dir!r} — refusing to serve "

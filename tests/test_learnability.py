@@ -167,3 +167,39 @@ def test_detector_learns_keypoints(tmp_path):
         MPIIHostPipeline(anns_va, 4, canvas=256, pad=True),
     )
     assert avg > 25.0, f"valid PCKh {avg:.1f}"
+
+
+def test_learnable_h36m_tree_markers_and_floor(tmp_path):
+    """write_h36m_learnable_dataset: MPII-id-coded markers land on the
+    camera-projected joints that sh_convert's FROM_MPII_TO_H36M gather
+    reads, and the lifting task has a small linear floor (2D determines 3D
+    on the shared manifold)."""
+    import pickle
+
+    from PIL import Image
+
+    from bilinear_tpu.data.synthetic import write_h36m_learnable_dataset
+    from bilinear_tpu.ops.joints import FROM_MPII_TO_H36M
+
+    d = write_h36m_learnable_dataset(
+        str(tmp_path / "Human3.6M"), n_train=48, n_valid=16
+    )
+    splits = load_h36m(d)
+    with open(d + "/train_GT.bin", "rb") as f:
+        b = pickle.load(f)
+    part = np.asarray(b["part"][0])
+    img = np.asarray(Image.open(f"{d}/S1/{b['image'][0]}"))
+    inv = {int(m): h for h, m in enumerate(FROM_MPII_TO_H36M) if h != 9}
+    for m in range(16):
+        x, y = part[inv[m]]
+        px = img[int(round(y)), int(round(x))]
+        assert int(px.max()) > 140, (m, px)
+
+    tr, va = splits[Task.Train], splits[Task.Valid]
+    X = np.concatenate([tr.part, np.ones((len(tr), 1))], 1)
+    W, *_ = np.linalg.lstsq(X, tr.s, rcond=None)
+    p = (np.concatenate([va.part, np.ones((len(va), 1))], 1) @ W) \
+        * va.std_s + va.mean_s
+    gt = va.raw_s.reshape(-1, 16, 3)
+    floor = np.sqrt(((p.reshape(-1, 16, 3) - gt) ** 2).sum(2)).sum(1).mean() / 16
+    assert floor < 10.0, floor
