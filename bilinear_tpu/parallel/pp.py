@@ -80,21 +80,21 @@ class StemBlock(nn.Module):
     quantize: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, train: bool = False):
         sdtype = jnp.promote_types(jnp.float32, self.dtype)
         kw = dict(dtype=self.dtype, fused=self.fused, quantize=self.quantize)
         x = x.astype(self.dtype)
         h = _conv(64, 7, "stem_conv", stride=2, dtype=self.dtype,
                   fan_in=3 * 49)(x)
         h = TorchBatchNorm(momentum=0.1, dtype=sdtype, name="stem_bn")(
-            h.astype(sdtype), train=False
+            h.astype(sdtype), train=train
         ).astype(self.dtype)
         h = nn.relu(h)
-        h = ResModule(64, 128, name="stem_res1", **kw)(h, train=False)
+        h = ResModule(64, 128, name="stem_res1", **kw)(h, train=train)
         h = nn.max_pool(h, (2, 2), strides=(2, 2))
-        h = ResModule(128, 128, name="stem_res2", **kw)(h, train=False)
+        h = ResModule(128, 128, name="stem_res2", **kw)(h, train=train)
         return ResModule(128, self.features, name="stem_res3", **kw)(
-            h, train=False
+            h, train=train
         )
 
 
@@ -115,13 +115,14 @@ class StackBlock(nn.Module):
     n_modules: int = 1
 
     @nn.compact
-    def __call__(self, inter) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, inter, *, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         ll = Hourglass(self.depth, self.features, dtype=self.dtype,
                        fused=self.fused, quantize=self.quantize,
                        n_modules=self.n_modules,
-                       name="hg")(inter, train=False)
+                       name="hg")(inter, train=train)
         ll = Lin(self.features, dtype=self.dtype, name="lin")(
-            ll, train=False
+            ll, train=train
         )
         htmap = _conv(self.n_joints, 1, "htmap", dtype=self.dtype,
                       fan_in=self.features)(ll)
@@ -355,3 +356,213 @@ def pipeline_end2end(
     bl_vars = {col: tree["bilinear"] for col, tree in variables.items()}
     pose_3d = BilinearUnit(dtype=dtype).apply(bl_vars, normalized, train=False)
     return pose_img, pose_3d
+
+
+def merge_pipeline_variables(stem_vars, stacked_vars, n_stacks: int):
+    """Inverse of split_pipeline_variables: (stem, stacked) -> MainModel
+    variables. The final stack's zero-filled feedback convs are dropped
+    (the reference never allocates them, hourglass_torch7.py:117-121), so a
+    PP-trained state round-trips into an ordinary MainModel checkpoint."""
+    out = {col: dict(tree) for col, tree in stem_vars.items()}
+    for col in stacked_vars:
+        for i in range(n_stacks):
+            per = jax.tree.map(lambda a: a[i], stacked_vars[col])
+            for short, full in (
+                ("hg", f"hg_{i}"), ("lin", f"lin_{i}"),
+                ("htmap", f"htmap_{i}"), ("ll_bar", f"ll_bar_{i}"),
+                ("htmap_bar", f"htmap_bar_{i}"),
+            ):
+                if short not in per:
+                    continue
+                if i == n_stacks - 1 and short in ("ll_bar", "htmap_bar"):
+                    continue  # fake feedback convs of the final stack
+                out.setdefault(col, {})[full] = per[short]
+    return out
+
+
+def make_pp_train_step(
+    mesh: Mesh,
+    tx,
+    *,
+    n_stacks: int = 8,
+    features: int = N_FEATURES,
+    n_joints: int = N_JOINTS,
+    depth: int = N_DEPTH,
+    dtype=jnp.float32,
+    microbatches: int = None,
+):
+    """Pipeline-parallel TRAINING step (GPipe-style synchronous schedule).
+
+    The round-3 gap: PP was eval-only. This extends the same 'stage'-mesh
+    ppermute ring to fwd+bwd: microbatches stream forward through the ring
+    inside ``lax.scan``, every stack computes its intermediate-supervision
+    MSE at its own stage (losses psum'd), and the backward pass is JAX's
+    transpose of the whole program — ``ppermute`` transposes to the reverse
+    ring, so activation gradients flow stage S-1 -> 0 with no hand-written
+    schedule. One optimizer update per step over the combined (stem,
+    stacked-stacks) tree: global-norm clip(1) -> torch-RMSprop, exactly the
+    single-device trainer's chain.
+
+    Semantics (exact, tested in tests/test_parallel_pp.py and dryrun leg 9):
+    the update equals a single-device GRADIENT-ACCUMULATED step over the
+    same M microbatches — per-microbatch BN batch statistics (each
+    microbatch is a reference-sized batch-8 step, train_hourglass.py:63-95)
+    applied sequentially, grads averaged, one update. With M=1 this IS the
+    single-device full-batch train step.
+
+    Returns ``step(stem_vars, stacked_vars, opt_state, crops, targets) ->
+    (stem_vars, stacked_vars, opt_state, loss)``; build opt_state with
+    ``tx.init({'stem': stem_params, 'stacks': stacked_params})``.
+
+    Tolerance note (tests/test_parallel_pp.py): losses and GRADS match the
+    comparator to float32 reassociation noise (~1e-6 rel), but torch-RMSprop's
+    FIRST step divides by sqrt(0.01*g^2) ~= 0.1|g|, making the update
+    ~lr*sign(g) — near-zero grads amplify that noise into ~1e-4-absolute
+    parameter differences. Gradient equality is the exactness check;
+    parameter equality is asserted at the amplified tolerance.
+    """
+    loss_fn = make_pp_loss_fn(
+        mesh, n_stacks=n_stacks, features=features, n_joints=n_joints,
+        depth=depth, dtype=dtype, microbatches=microbatches,
+    )
+
+    def step(stem_vars, stacked_vars, opt_state, crops, targets):
+        params = {"stem": stem_vars["params"], "stacks": stacked_vars["params"]}
+        (loss, (stem_stats, stack_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, stem_vars["batch_stats"], stacked_vars["batch_stats"],
+          crops, targets)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return (
+            {"params": params["stem"], "batch_stats": stem_stats},
+            {"params": params["stacks"], "batch_stats": stack_stats},
+            opt_state,
+            loss,
+        )
+
+    return step
+
+
+def make_pp_loss_fn(
+    mesh: Mesh,
+    *,
+    n_stacks: int = 8,
+    features: int = N_FEATURES,
+    n_joints: int = N_JOINTS,
+    depth: int = N_DEPTH,
+    dtype=jnp.float32,
+    microbatches: int = None,
+):
+    """The differentiable pipeline loss under ``make_pp_train_step`` —
+    exposed so tests can compare d(loss)/d(params) against the single-device
+    gradient-accumulated comparator directly.
+
+    ``loss_fn(params, stem_stats, stack_stats, crops, targets) ->
+    (loss, (new_stem_stats, new_stack_stats))`` with
+    ``params = {'stem': ..., 'stacks': ...}``.
+    """
+    n_stages = mesh.shape[STAGE_AXIS]
+    if n_stacks % n_stages:
+        raise ValueError(f"{n_stages} stages do not divide {n_stacks} stacks")
+    local = n_stacks // n_stages
+    M = microbatches or n_stages
+
+    stem = StemBlock(features, dtype)
+    block = StackBlock(features, n_joints, depth, dtype)
+    sdtype = jnp.promote_types(jnp.float32, dtype)
+
+    def loss_fn(params, stem_stats, stack_stats, crops, targets):
+        B = crops.shape[0]
+        if B % M:
+            raise ValueError(f"batch {B} does not divide {M} microbatches")
+        mb = B // M
+        xs_in = crops.reshape(M, mb, *crops.shape[1:])
+
+        # Stem per microbatch (sequential BN running-stat updates), matching
+        # the gradient-accumulation comparator.
+        def stem_micro(stats, x):
+            out, mut = stem.apply(
+                {"params": params["stem"], "batch_stats": stats},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return mut["batch_stats"], out
+
+        new_stem_stats, stem_outs = jax.lax.scan(stem_micro, stem_stats, xs_in)
+        h, w = stem_outs.shape[2:4]
+        # (B, J, hm, hm) targets -> per-microbatch (M, mb, hm, hm, J)
+        tg = jnp.transpose(targets, (0, 2, 3, 1)).reshape(
+            M, mb, *targets.shape[2:], targets.shape[1]
+        )
+
+        stack_specs = jax.tree.map(lambda _: P(STAGE_AXIS), params["stacks"])
+        stat_specs = jax.tree.map(lambda _: P(STAGE_AXIS), stack_stats)
+
+        def body(stack_params, stats_local, xs_rep, tg_rep):
+            s = jax.lax.axis_index(STAGE_AXIS)
+
+            def tick(carry, t):
+                inter, stats_l, loss_acc = carry
+                m = jnp.clip(t - s, 0, M - 1)
+                active = (t >= s) & (t - s < M)
+                x_t = jax.lax.dynamic_index_in_dim(
+                    xs_rep, jnp.clip(t, 0, M - 1), 0, keepdims=False
+                )
+                inter = jnp.where(s == 0, x_t, inter)
+                tgt_m = jax.lax.dynamic_index_in_dim(tg_rep, m, 0, keepdims=False)
+                new_stats = []
+                stack_loss = jnp.zeros((), sdtype)
+                for j in range(local):
+                    pv = {
+                        "params": jax.tree.map(lambda a: a[j], stack_params),
+                        "batch_stats": jax.tree.map(lambda a: a[j], stats_l),
+                    }
+                    (htmap, inter), mut = block.apply(
+                        pv, inter, train=True, mutable=["batch_stats"]
+                    )
+                    # per-stack mean MSE (train_hourglass.py:76)
+                    stack_loss = stack_loss + jnp.mean(
+                        jnp.square(htmap.astype(sdtype) - tgt_m)
+                    )
+                    new_stats.append(jax.tree.map(
+                        lambda new, old: jnp.where(active, new, old),
+                        mut["batch_stats"],
+                        jax.tree.map(lambda a: a[j], stats_l),
+                    ))
+                stats_l = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *new_stats
+                )
+                loss_acc = loss_acc + jnp.where(active, stack_loss, 0.0)
+                if n_stages > 1:
+                    inter = jax.lax.ppermute(
+                        inter, STAGE_AXIS,
+                        [(i, i + 1) for i in range(n_stages - 1)],
+                    )
+                return (inter, stats_l, loss_acc), None
+
+            # inter/loss start as replicated zeros -> mark stage-varying
+            # for shard_map's VMA check; stats_local is ALREADY varying (it
+            # enters through a P(STAGE_AXIS) spec), so pcast must skip it.
+            varying = lambda a: jax.lax.pcast(a, (STAGE_AXIS,), to="varying")
+            init = (
+                varying(jnp.zeros((mb, h, w, features), stem_outs.dtype)),
+                stats_local,
+                varying(jnp.zeros((), sdtype)),
+            )
+            (_, stats_l, loss_acc), _ = jax.lax.scan(
+                tick, init, jnp.arange(M + n_stages - 1)
+            )
+            return jax.lax.psum(loss_acc, STAGE_AXIS), stats_l
+
+        loss, new_stack_stats = shard_map(
+            body, mesh=mesh,
+            in_specs=(stack_specs, stat_specs, P(), P()),
+            out_specs=(P(), jax.tree.map(lambda _: P(STAGE_AXIS), stack_stats)),
+        )(params["stacks"], stack_stats, stem_outs, tg)
+        # full-batch loss == mean over microbatches of per-microbatch loss
+        loss = loss / M
+        return loss, (new_stem_stats, new_stack_stats)
+
+    return loss_fn

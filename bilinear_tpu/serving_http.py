@@ -59,14 +59,34 @@ class BackendError(Exception):
 
 
 class _Pending:
-    __slots__ = ("arrays", "n_rows", "event", "result", "error")
+    __slots__ = ("arrays", "n_rows", "taken", "pieces", "event", "result",
+                 "error")
 
     def __init__(self, arrays: Sequence[np.ndarray]):
         self.arrays = arrays
         self.n_rows = int(arrays[0].shape[0])
+        self.taken = 0  # rows already claimed by dispatches (split requests)
+        self.pieces: List[tuple] = []  # (start, outs) per completed slice
         self.event = threading.Event()
         self.result: Optional[tuple] = None
         self.error: Optional[BaseException] = None
+
+    def complete_piece(self, start: int, outs: tuple) -> None:
+        """Record one dispatched slice's outputs; assemble + signal when the
+        whole request is answered. Called only from the dispatcher thread."""
+        self.pieces.append((start, outs))
+        done = sum(o[0].shape[0] for _, o in self.pieces)
+        if done >= self.n_rows:
+            self.pieces.sort(key=lambda t: t[0])
+            n_out = len(self.pieces[0][1])
+            if len(self.pieces) == 1:
+                self.result = self.pieces[0][1]
+            else:
+                self.result = tuple(
+                    np.concatenate([o[i] for _, o in self.pieces], axis=0)
+                    for i in range(n_out)
+                )
+            self.event.set()
 
 
 class DynamicBatcher:
@@ -152,9 +172,15 @@ class DynamicBatcher:
         self._thread.join(timeout=5)
 
     # --------------------------------------------------------- dispatcher
-    def _take_batch(self) -> List[_Pending]:
-        """Wait for the first request, keep the window open for
-        max_delay_ms (or until max_rows), then drain."""
+    def _take_batch(self) -> List[tuple]:
+        """Wait for the first request, keep the window open for max_delay_ms
+        (or until max_rows are queued), then take AT MOST max_rows as
+        (pending, start, n) slices — splitting a large request across
+        dispatches. Without the cap+split, one 4096-row bulk body turns
+        every co-queued small request into a convoy rider of a mega-dispatch
+        (the measured 5.5 s /v1/lift p95 under 4 concurrent bulk clients,
+        round-3 RESULTS.md); with it, concurrent bulk clients interleave at
+        max_rows granularity and the tail stays within ~2x the median."""
         with self._lock:
             while not self._queue and not self._stopped:
                 self._wakeup.wait()
@@ -162,14 +188,31 @@ class DynamicBatcher:
                 return []
             deadline = time.monotonic() + self._max_delay
             while True:
-                rows = sum(r.n_rows for r in self._queue)
+                rows = sum(r.n_rows - r.taken for r in self._queue)
                 left = deadline - time.monotonic()
                 if rows >= self._max_rows or left <= 0 or self._stopped:
                     break
                 self._wakeup.wait(timeout=left)
-            taken, self._queue = self._queue, []
-            self._pending_rows = 0
-            return taken
+            # Round-robin shares across queued requests (not FIFO fill):
+            # a small request always gets a share of the NEXT dispatch even
+            # while a 4096-row bulk body is mid-flight, and N concurrent
+            # bulk clients progress in parallel instead of in series.
+            slices: List[tuple] = []
+            space = self._max_rows
+            while self._queue and space > 0:
+                share = max(1, space // len(self._queue))
+                for r in list(self._queue):
+                    if space <= 0:
+                        break
+                    n = min(r.n_rows - r.taken, share, space)
+                    if n <= 0:
+                        continue
+                    slices.append((r, r.taken, n))
+                    r.taken += n
+                    space -= n
+                    self._pending_rows -= n
+                self._queue = [r for r in self._queue if r.taken < r.n_rows]
+            return slices
 
     def _run(self) -> None:
         while True:
@@ -180,7 +223,8 @@ class DynamicBatcher:
                 t0 = time.monotonic()
                 joined = []
                 for i in range(self._n_inputs):
-                    arrs = [r.arrays[i] for r in batch]
+                    arrs = [r.arrays[i][start:start + n]
+                            for r, start, n in batch]
                     if i in self._coerce:
                         arrs = self._coerce[i](arrs)
                     joined.append(np.concatenate(arrs, axis=0))
@@ -188,21 +232,24 @@ class DynamicBatcher:
                 outs = self._fn(*joined)
                 if not isinstance(outs, tuple):
                     outs = (outs,)
+                outs = tuple(np.asarray(o) for o in outs)
                 offset = 0
-                for r in batch:
-                    r.result = tuple(
-                        np.asarray(o)[offset : offset + r.n_rows] for o in outs
-                    )
-                    offset += r.n_rows
+                for r, start, n in batch:
+                    piece = tuple(o[offset:offset + n] for o in outs)
+                    r.complete_piece(start, piece)
+                    offset += n
                 self.batches_dispatched += 1
                 self.rows_served += offset
                 self.dispatch_seconds += time.monotonic() - t0
-            except BaseException as e:  # propagate to every waiter
-                for r in batch:
+            except BaseException as e:  # propagate to every waiter; a
+                # multi-slice request fails wholesale (partial results are
+                # never returned)
+                for r, _, _ in batch:
                     r.error = e
             finally:
-                for r in batch:
-                    r.event.set()
+                for r, _, _ in batch:
+                    if r.error is not None:
+                        r.event.set()
 
 
 # ---------------------------------------------------------------------------

