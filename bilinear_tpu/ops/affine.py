@@ -21,6 +21,10 @@ Semantics preserved exactly:
 The crop_ratio>=2 early-downscale branch is intentionally NOT reproduced: it
 is a performance workaround that resamples twice (losing high-frequency
 detail); the single-pass gather implements the same crop more faithfully.
+The deviation is MEASURED, not argued (benchmarks/crop_ratio_probe.py,
+docs/PARITY.md): on big-box records the two crops differ by mean abs 0.018
+(PSNR 30.8 dB) and one detector evaluated on both crop paths scores an
+identical PCKh@0.5 (69.64 vs 69.64) — metric-neutral.
 """
 from __future__ import annotations
 
