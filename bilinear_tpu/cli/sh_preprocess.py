@@ -45,6 +45,9 @@ def main(argv=None) -> None:
         args.h36m_dir,
         protocol_out=args.protocol_out,
         batch_size=cfg.batch_size,
+        canvas=cfg.canvas,
+        transport=cfg.transport,
+        cache_canvases=cfg.cache_canvases,
     )
     for task, path in written.items():
         logger.info("%s -> %s", task, path)

@@ -49,7 +49,9 @@ def main(argv=None) -> None:
     records = H36MImageRecords(splits[Task.Train], cfg.data_dir)
     pipeline = MPIIHostPipeline(
         records, cfg.batch_size, shuffle=True, seed=cfg.seed,
-        transport=cfg.transport,
+        transport=cfg.transport, canvas=cfg.canvas,
+        cache_dir=os.path.join(cfg.data_dir, "canvas_cache", "ft_train")
+        if cfg.cache_canvases else None,
     )
 
     trainer = HourglassTrainer(

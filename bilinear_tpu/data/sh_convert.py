@@ -36,6 +36,8 @@ def convert_gt_to_sh(
     protocol_out: str = "SH",
     batch_size: int = 16,
     canvas: int = 512,
+    transport: str = "u8",  # uint8 canvases: 4x less tunnel traffic than f32
+    cache_canvases: bool = False,
 ) -> Dict[str, str]:
     """Returns {task: written_bin_path}."""
     import jax
@@ -49,7 +51,11 @@ def convert_gt_to_sh(
     for task in tasks:
         split = splits[task]
         records = H36MImageRecords(split, data_dir)
-        pipeline = MPIIHostPipeline(records, batch_size, canvas=canvas, pad=True)
+        pipeline = MPIIHostPipeline(
+            records, batch_size, canvas=canvas, pad=True, transport=transport,
+            cache_dir=os.path.join(data_dir, "canvas_cache", f"sh_{task}")
+            if cache_canvases and transport == "u8" else None,
+        )
 
         detections = np.zeros((len(split), 16, 2), np.float32)
         for batch in pipeline.epoch(0):
