@@ -196,8 +196,11 @@ def probe_matmul(n: int = 2048) -> dict:
     )
     return {
         "n": n,
-        "ms": round(t * 1e3, 3),
-        "tflops": round(2 * n**3 / t / 1e12, 1),
+        "ms": float(f"{t * 1e3:.4g}"),
+        # Significant digits, not fixed decimals: a small-n probe on a slow
+        # host is ~0.04 TFLOPS and must not round to a 0.0 that trips health
+        # checks asserting > 0.
+        "tflops": float(f"{2 * n**3 / t / 1e12:.3g}"),
     }
 
 
