@@ -76,6 +76,29 @@ def project(points_cam: jnp.ndarray, camera: Camera) -> jnp.ndarray:
     return _distort(xy, jnp.asarray(camera.k), jnp.asarray(camera.p)) * f + c
 
 
+def project_np(points_cam: np.ndarray, camera: Camera) -> np.ndarray:
+    """Numpy mirror of :func:`project` for host-side producers.
+
+    Dataset/bin generation runs on the host; on a remote-device platform
+    (the tunneled 'axon' PJRT plugin) every eager jnp op is a remote
+    dispatch, so the jnp path can stall generation behind device compiles.
+    Keep this in lockstep with `_distort`/`project` above
+    (tests/test_camera.py asserts equality).
+    """
+    k = np.asarray(camera.k, np.float32)
+    p = np.asarray(camera.p, np.float32)
+    pts = np.asarray(points_cam, np.float32)
+    xy = pts[..., :2] / pts[..., 2:3]
+    r2 = np.sum(np.square(xy), axis=-1, keepdims=True)
+    radial = 1.0 + k[0] * r2 + k[1] * r2**2 + k[2] * r2**3
+    tan = p[0] * xy[..., 1:2] + p[1] * xy[..., 0:1]
+    extra = np.concatenate([p[1] * r2, p[0] * r2], axis=-1)
+    distorted = xy * (radial + tan) + extra
+    return distorted * np.asarray(camera.f, np.float32) + np.asarray(
+        camera.c, np.float32
+    )
+
+
 def unproject(
     pixels: jnp.ndarray, depth: jnp.ndarray, camera: Camera, iters: int = 10
 ) -> jnp.ndarray:

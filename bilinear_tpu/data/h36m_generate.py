@@ -14,16 +14,20 @@ import os
 import pickle
 from typing import Dict, List, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
-from bilinear_tpu.data.camera import Camera, project
+from bilinear_tpu.data.camera import Camera, project_np
 from bilinear_tpu.data.h36m import Annotation
 
 
 def project_poses(s_cam: np.ndarray, camera: Camera) -> np.ndarray:
-    """(N, 17, 3) camera-space mm -> (N, 17, 2) pixel keypoints."""
-    return np.asarray(project(jnp.asarray(s_cam, jnp.float32), camera))
+    """(N, 17, 3) camera-space mm -> (N, 17, 2) pixel keypoints.
+
+    Pure numpy (camera.project_np): bin generation is host-side work and
+    must not dispatch eager device ops — on the tunneled-TPU platform that
+    serialized this producer behind minutes of remote compiles.
+    """
+    return project_np(np.asarray(s_cam, np.float32), camera)
 
 
 def bbox_center_scale(part: np.ndarray, margin: float = 1.15):

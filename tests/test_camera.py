@@ -10,6 +10,7 @@ from bilinear_tpu.data.camera import (
     load_all_cameras,
     load_camera,
     project,
+    project_np,
     unproject,
 )
 
@@ -41,6 +42,12 @@ def test_project_matches_numpy_transcription():
     xxx = xy * (radial + tan)[:, None] + np.outer(r2, [cam.p[1], cam.p[0]])
     expected = xxx * cam.f + cam.c
     np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=1e-3)
+
+    # The host-side producer path (data/h36m_generate.py) must stay in
+    # lockstep with the device path — it exists so bin generation never
+    # dispatches eager device ops on a remote-tunnel platform.
+    np.testing.assert_allclose(project_np(pts, cam), expected, rtol=1e-4,
+                               atol=1e-3)
 
 
 def test_project_center_ray():
