@@ -37,7 +37,18 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true",
                     help="1-stack/8-feature detector + interpret kernels "
                          "(CPU smoke test of the harness itself)")
+    ap.add_argument("--max-rows", type=int, default=4096,
+                    help="DynamicBatcher per-dispatch row cap; round-robin "
+                         "shares across queued requests bound the convoy "
+                         "tail (round-3 ran effectively uncapped: 4096*8)")
+    ap.add_argument("--routes", default="lift,pose_b8,pose_b1",
+                    help="comma list of routes to measure; on a cold "
+                         "service each distinct compiled shape costs "
+                         "minutes, and lift-only skips the production "
+                         "detector compiles entirely")
     args = ap.parse_args()
+    routes = [r.strip() for r in args.routes.split(",") if r.strip()]
+    want_pose = any(r.startswith("pose") for r in routes)
 
     import jax
     import jax.numpy as jnp
@@ -62,28 +73,30 @@ def main() -> None:
         lift_dir + "/parameter", 1,
         BilinearTrainer().init_state(jax.random.PRNGKey(0)),
     )
-    e2e_dir = os.path.join(tmp, "e2e")
-    e2e_trainer = End2EndTrainer(model_kw=model_kw)
-    save_checkpoint(
-        e2e_dir + "/parameter", 1,
-        e2e_trainer.init_state(
-            jax.random.PRNGKey(0),
-            jnp.asarray(tr.mean_part), jnp.asarray(tr.std_part),
-        ),
-    )
-
     quant = args.quantize or None
     lifting, _ = LiftingServer.from_run_dir(
         lift_dir, tr, quantize=quant, interpret=args.tiny
     )
-    end2end = End2EndServer.from_run_dir(
-        e2e_dir, tr, batch_sizes=(1, 8, 16), quantize=quant,
-        model_kw=model_kw,
-        **(dict(dtype=jnp.float32) if args.tiny else {}),
-    )
+    end2end = None
+    if want_pose:
+        e2e_dir = os.path.join(tmp, "e2e")
+        e2e_trainer = End2EndTrainer(model_kw=model_kw)
+        save_checkpoint(
+            e2e_dir + "/parameter", 1,
+            e2e_trainer.init_state(
+                jax.random.PRNGKey(0),
+                jnp.asarray(tr.mean_part), jnp.asarray(tr.std_part),
+            ),
+        )
+        end2end = End2EndServer.from_run_dir(
+            e2e_dir, tr, batch_sizes=(1, 8, 16), quantize=quant,
+            model_kw=model_kw,
+            **(dict(dtype=jnp.float32) if args.tiny else {}),
+        )
     server = PoseHTTPServer(
         lifting=lifting, end2end=end2end, port=0, max_delay_ms=2.0,
-        max_rows=4096 * 8, max_pending_rows=args.lift_rows * args.clients,
+        max_rows=args.max_rows,
+        max_pending_rows=args.lift_rows * args.clients,
     )
     server.start()
     # Backpressure-aware client: a 503 from admission control is flow
@@ -106,16 +119,18 @@ def main() -> None:
     frames = (np.random.RandomState(1).rand(8, 256, 256, 3) * 255).astype(
         np.uint8
     )
-    for k in range(1, args.clients + 1):
-        # Every coalesce size 1..clients riders is a distinct compiled
-        # shape (TILE-padded) — warm them all, not just the extremes.
-        client.lift(np.concatenate([kp] * k))
-    for b in sorted(end2end.batch_sizes):
-        client.pose(
-            (np.random.RandomState(b).rand(b, 256, 256, 3) * 255).astype(
-                np.uint8
+    if "lift" in routes:
+        for k in range(1, args.clients + 1):
+            # Every coalesce size 1..clients riders is a distinct compiled
+            # shape (TILE-padded) — warm them all, not just the extremes.
+            client.lift(np.concatenate([kp] * k))
+    if want_pose:
+        for b in sorted(end2end.batch_sizes):
+            client.pose(
+                (np.random.RandomState(b).rand(b, 256, 256, 3) * 255).astype(
+                    np.uint8
+                )
             )
-        )
 
     results = {}
     for route, payload, rows in (
@@ -123,6 +138,8 @@ def main() -> None:
         ("pose_b8", lambda c: c.pose(frames), 8),
         ("pose_b1", lambda c: c.pose(frames[:1]), 1),
     ):
+        if route not in routes:
+            continue
         lat: list = []
         stop = time.monotonic() + args.seconds
         lock = threading.Lock()
