@@ -48,6 +48,12 @@ def main() -> None:
                          "detector compiles entirely")
     args = ap.parse_args()
     routes = [r.strip() for r in args.routes.split(",") if r.strip()]
+    known = {"lift", "pose_b8", "pose_b1"}
+    unknown = [r for r in routes if r not in known]
+    if unknown:
+        ap.error(
+            f"unknown route(s) {unknown}; valid: {sorted(known)}"
+        )
     want_pose = any(r.startswith("pose") for r in routes)
 
     import jax
@@ -93,10 +99,17 @@ def main() -> None:
             model_kw=model_kw,
             **(dict(dtype=jnp.float32) if args.tiny else {}),
         )
+    # Admission cap sized for the routes actually measured: a pose-only run
+    # with a small --lift-rows must still admit a full 16-frame pose burst
+    # per client (ADVICE r4).
+    pending_cap = max(
+        (args.lift_rows * args.clients) if "lift" in routes else 0,
+        (16 * args.clients) if want_pose else 0,
+    )
     server = PoseHTTPServer(
         lifting=lifting, end2end=end2end, port=0, max_delay_ms=2.0,
         max_rows=args.max_rows,
-        max_pending_rows=args.lift_rows * args.clients,
+        max_pending_rows=pending_cap,
     )
     server.start()
     # Backpressure-aware client: a 503 from admission control is flow
@@ -120,10 +133,23 @@ def main() -> None:
         np.uint8
     )
     if "lift" in routes:
-        for k in range(1, args.clients + 1):
-            # Every coalesce size 1..clients riders is a distinct compiled
-            # shape (TILE-padded) — warm them all, not just the extremes.
-            client.lift(np.concatenate([kp] * k))
+        # Warm the dispatch shapes the row cap ACTUALLY produces (shapes are
+        # TILE-padded totals per device call). With max_rows <= lift_rows a
+        # single request already splits into the saturated max_rows chunks +
+        # the remainder shape — the same shapes measurement produces — so
+        # one warmup request suffices. Only an effectively-uncapped run
+        # (max_rows >= clients*lift_rows) can coalesce k co-queued requests
+        # into one k*lift_rows dispatch and needs the full 1..clients sweep.
+        if args.max_rows <= args.lift_rows:
+            client.lift(kp)
+        else:
+            k_max = (
+                args.clients
+                if args.max_rows >= args.clients * args.lift_rows
+                else -(-args.max_rows // args.lift_rows)  # ceil: cap shape
+            )
+            for k in range(1, k_max + 1):
+                client.lift(np.concatenate([kp] * k))
     if want_pose:
         for b in sorted(end2end.batch_sizes):
             client.pose(

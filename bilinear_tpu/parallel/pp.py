@@ -23,10 +23,17 @@ Design (TPU-native):
   activations move stage->stage+1 via ``lax.ppermute`` inside a
   ``lax.scan`` over M + S - 1 ticks. The stem runs once before the pipeline
   as an ordinary GSPMD program.
-- Eval mode only (BatchNorm running stats): microbatching is then exact, so
-  the pipelined forward equals the single-device ``MainModel`` forward to
-  float tolerance (tests/test_parallel_pp.py). Training this 25 M-param
-  model needs no PP — that trade-off is documented, not hidden.
+- ``pipeline_forward`` itself runs in eval mode (BatchNorm running stats):
+  microbatching is then exact, so the pipelined forward equals the
+  single-device ``MainModel`` forward to float tolerance
+  (tests/test_parallel_pp.py). TRAINING is provided separately by
+  ``make_pp_train_step`` (below): GPipe-style microbatch-accumulated
+  fwd+bwd over the stage mesh, with per-microbatch BN batch stats applied
+  sequentially to match the reference's batch-8 steps; one PP train step
+  equals the single-device gradient-accumulated step
+  (tests/test_parallel_pp.py, dryrun leg 9). The 25 M-param detector does
+  not NEED PP to fit — both paths exist to complete the scaling story, and
+  that trade-off is documented, not hidden.
 """
 from __future__ import annotations
 

@@ -21,6 +21,7 @@ from bilinear_tpu.train.hourglass import HourglassTrainer
 
 
 @pytest.mark.slow
+@pytest.mark.budget
 def test_production_hourglass_dp_step_matches_single_device():
     rng = np.random.RandomState(0)
     b = 8  # the reference's production batch (hourglass.sh / batch 8)

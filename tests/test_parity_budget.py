@@ -49,6 +49,7 @@ def test_trajectory_parity_full_budget():
 
 
 @pytest.mark.slow
+@pytest.mark.budget
 def test_hourglass_trajectory_parity_full_budget():
     """Companion harness for the hourglass trainer: reference loop semantics
     (sum-of-stacks MSE, clip(1), RMSprop) + the FULL reference eval protocol
