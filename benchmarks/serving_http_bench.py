@@ -133,23 +133,24 @@ def main() -> None:
         np.uint8
     )
     if "lift" in routes:
-        # Warm the dispatch shapes the row cap ACTUALLY produces (shapes are
-        # TILE-padded totals per device call). With max_rows <= lift_rows a
-        # single request already splits into the saturated max_rows chunks +
-        # the remainder shape — the same shapes measurement produces — so
-        # one warmup request suffices. Only an effectively-uncapped run
-        # (max_rows >= clients*lift_rows) can coalesce k co-queued requests
-        # into one k*lift_rows dispatch and needs the full 1..clients sweep.
-        if args.max_rows <= args.lift_rows:
-            client.lift(kp)
-        else:
-            k_max = (
-                args.clients
-                if args.max_rows >= args.clients * args.lift_rows
-                else -(-args.max_rows // args.lift_rows)  # ceil: cap shape
-            )
-            for k in range(1, k_max + 1):
-                client.lift(np.concatenate([kp] * k))
+        # Warm the dispatch shapes the row cap ACTUALLY produces. Every
+        # device call is padded to a TILE-row multiple by the lifting
+        # kernel, and a capped dispatch never exceeds max_rows, so the
+        # complete compiled-shape set is the TILE grid up to
+        # min(max_rows, clients*lift_rows): round-robin shares can produce
+        # any grid total at wave tails, and an effectively-uncapped run
+        # coalesces co-queued requests up to clients*lift_rows. Warm each
+        # grid point with one lone request of that size (a lone request
+        # <= cap dispatches once, exactly that shape).
+        from bilinear_tpu.ops.pallas.lifting import TILE
+
+        top = min(args.max_rows, args.clients * args.lift_rows)
+        big = np.concatenate([kp] * -(-top // kp.shape[0]))
+        for k in range(1, -(-top // TILE) + 1):
+            n = min(k * TILE, top)
+            client.lift(big[:n])
+            if n == top:
+                break
     if want_pose:
         for b in sorted(end2end.batch_sizes):
             client.pose(
