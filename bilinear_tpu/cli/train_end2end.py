@@ -72,8 +72,12 @@ def main(argv=None) -> None:
             f"train split has {len(records)} samples < batch size "
             f"{cfg.batch_size}: drop_last would yield zero steps per epoch"
         )
-    pipeline = MPIIHostPipeline(records, cfg.batch_size, shuffle=True,
-                                seed=cfg.seed, drop_last=True)
+    pipeline = MPIIHostPipeline(
+        records, cfg.batch_size, canvas=cfg.canvas, shuffle=True,
+        seed=cfg.seed, drop_last=True, transport=cfg.transport,
+        cache_dir=os.path.join(cfg.data_dir, "canvas_cache", "e2e_train")
+        if cfg.cache_canvases and cfg.transport == "u8" else None,
+    )
 
     trainer = End2EndTrainer(
         variant="torch7" if cfg.variant == "torch7" else "preact",
