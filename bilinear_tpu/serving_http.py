@@ -180,7 +180,8 @@ class DynamicBatcher:
         every co-queued small request into a convoy rider of a mega-dispatch
         (the measured 5.5 s /v1/lift p95 under 4 concurrent bulk clients,
         round-3 RESULTS.md); with it, concurrent bulk clients interleave at
-        max_rows granularity and the tail stays within ~2x the median."""
+        max_rows granularity — measured live in round 5: p95 0.61 s =
+        1.73x p50 at +30% sustained rows/s (RESULTS.md round-5 section)."""
         with self._lock:
             while not self._queue and not self._stopped:
                 self._wakeup.wait()
