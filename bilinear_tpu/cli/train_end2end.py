@@ -10,6 +10,8 @@ import argparse
 import contextlib
 import os
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -96,6 +98,11 @@ def main(argv=None) -> None:
         logger.info("Resumed from epoch %d", start_epoch)
 
     s_norm_all = jnp.asarray(train.s)
+    # Original-image-space crop boxes, indexed per batch: the fused decode
+    # must produce keypoints in the space the lifting stats describe (see
+    # End2EndTrainer._train_step docstring).
+    orig_centers = jnp.asarray(np.asarray(train.centers, np.float32))
+    orig_scales = jnp.asarray(np.asarray(train.scales, np.float32))
     writer = TBWriter(log_dir)
     rng = jax.random.PRNGKey(cfg.seed + 1)
     with GracefulShutdown(logger) as shutdown:
@@ -112,6 +119,12 @@ def main(argv=None) -> None:
                             "keypoints": batch.keypoints,
                             "valid": batch.valid,
                             "s_norm": s_norm_all[jnp.asarray(batch.index)],
+                            "decode_centers": orig_centers[
+                                jnp.asarray(batch.index)
+                            ],
+                            "decode_scales": orig_scales[
+                                jnp.asarray(batch.index)
+                            ],
                         },
                         (mean_part, std_part),
                         jax.random.fold_in(rng, epoch),

@@ -65,13 +65,18 @@ def main(argv=None) -> None:
 
     model = trainer.model
 
+    # Original-image-space crop boxes for the fused decode (the lifting
+    # stats are original-space statistics; see End2EndTrainer._train_step).
+    orig_centers = np.asarray(valid.centers, np.float32)
+    orig_scales = np.asarray(valid.scales, np.float32)
+
     @jax.jit
-    def eval_step(variables, images, centers, scales):
+    def eval_step(variables, images, centers, scales, dec_centers, dec_scales):
         crops = crop_batch(
             images, centers, scales, jnp.zeros(scales.shape[0]), res=256
         )
         _, _, pose3d = model.apply(
-            variables, crops, centers, scales, mean_part, std_part,
+            variables, crops, dec_centers, dec_scales, mean_part, std_part,
             train=False,
         )
         return pose3d
@@ -83,8 +88,10 @@ def main(argv=None) -> None:
     dist_sum = np.zeros(n_actions, np.float64)
     count = np.zeros(n_actions, np.int64)
     for batch in pipeline.epoch(0):
+        safe = np.maximum(batch.index, 0)  # pad slots -> any real record
         pose3d = eval_step(
-            variables, batch.images, batch.centers, batch.scales
+            variables, batch.images, batch.centers, batch.scales,
+            jnp.asarray(orig_centers[safe]), jnp.asarray(orig_scales[safe]),
         )
         pred_mm = np.asarray(pose3d * std_s + mean_s)
         for slot in range(pred_mm.shape[0]):

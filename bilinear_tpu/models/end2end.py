@@ -13,6 +13,15 @@ Pipeline per batch:
   images (B,256,256,3) -> hourglass (8 stacks) -> last-stack heatmaps
   -> softargmax with the x10 temperature (model/end2end.py:14)
   -> heatmap space -> image space (center/scale)
+
+SPACE CONTRACT: ``centers``/``scales`` must describe the crop box in the
+SAME coordinate space as ``mean_part``/``std_part`` were computed in —
+for H36M bins that is ORIGINAL image space (H36M/data.py:57-59). Feeding
+canvas-space boxes with original-space stats z-scores the lifter's input
+from the wrong distribution (measured 488 mm vs 44 mm fused MPJPE before
+round 5's fix; train/end2end.py carries decode_centers/decode_scales for
+exactly this reason — the pipeline's canvas box crops, the original box
+decodes).
   -> MPII->H36M joint remap with the nose slot deleted (H36M16_FROM_MPII)
   -> z-score with the H36M train-split part statistics
   -> BilinearUnit -> normalized 48-d 3D pose.

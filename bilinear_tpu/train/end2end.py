@@ -64,8 +64,16 @@ class End2EndTrainer:
         )
 
     def _train_step(self, state, batch, stats, rng):
-        """batch: images/centers/scales/keypoints(H36M-16 order)/valid/s_norm.
-        stats: (mean_part, std_part) train-split normalization constants."""
+        """batch: images/centers/scales/keypoints(H36M-16 order)/valid/s_norm
+        + decode_centers/decode_scales — the SAME crop box expressed in
+        ORIGINAL image space. The fused decode maps heatmap coords through
+        center+(p-32)/64*200*scale; the lifting stats (mean_part/std_part)
+        are statistics of ORIGINAL-image-space keypoints, so the decode must
+        use the original-space box, not the canvas-space one the crop uses —
+        mixing spaces feeds the (possibly warm-started) lifter z-scores from
+        the wrong distribution (measured: 488 mm vs 44 mm fused MPJPE,
+        VERIFICATION_R5). Both boxes denote the same pixels, so one aug
+        scale factor applies to both. stats: (mean_part, std_part)."""
         mean_part, std_part = stats
         images = batch["images"]
         if self.mesh is not None:
@@ -79,6 +87,8 @@ class End2EndTrainer:
         B = images.shape[0]
         params_aug = aug.sample_geometry(k_geo, B, rotate_prob=0.0, flip_prob=0.0)
         scales = batch["scales"] * params_aug.scale_factor
+        dec_centers = batch["decode_centers"]
+        dec_scales = batch["decode_scales"] * params_aug.scale_factor
 
         crops = crop_batch(images, batch["centers"], scales, jnp.zeros(B), res=256)
         crops = aug.color_jitter_batch(k_jit, crops)
@@ -95,8 +105,8 @@ class End2EndTrainer:
             (heatmaps, _, pose3d), mut = self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 crops,
-                batch["centers"],
-                scales,
+                dec_centers,
+                dec_scales,
                 mean_part,
                 std_part,
                 train=True,

@@ -256,6 +256,8 @@ def test_end2end_trainer_decreases_joint_loss(h36m_dir):
     ).copy()
 
     s_norm_all = jnp.asarray(train.s)
+    orig_centers = jnp.asarray(np.asarray(train.centers, np.float32))
+    orig_scales = jnp.asarray(np.asarray(train.scales, np.float32))
     rng = jax.random.PRNGKey(1)
     losses, losses_3d = [], []
     for epoch in range(1, 7):
@@ -269,6 +271,8 @@ def test_end2end_trainer_decreases_joint_loss(h36m_dir):
                     "keypoints": batch.keypoints,
                     "valid": batch.valid,
                     "s_norm": s_norm_all[jnp.asarray(batch.index)],
+                    "decode_centers": orig_centers[jnp.asarray(batch.index)],
+                    "decode_scales": orig_scales[jnp.asarray(batch.index)],
                 },
                 (mean_part, std_part),
                 jax.random.fold_in(rng, epoch),
