@@ -84,6 +84,7 @@ def main(argv=None) -> None:
     trainer = End2EndTrainer(
         variant="torch7" if cfg.variant == "torch7" else "preact",
         batch_size=cfg.batch_size,
+        learning_rate=cfg.learning_rate,
         lambda_3d=args.lambda_3d,
     )
     mean_part = jnp.asarray(train.mean_part)
