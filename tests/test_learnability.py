@@ -131,11 +131,19 @@ def test_detector_learns_keypoints(tmp_path):
     tree (markers ARE the supervision signal), MPII-protocol training —
     crop/rotate/flip/jitter augmentation, sum-of-stacks MSE, RMSprop —
     must lift valid-split PCKh@0.5 far above the ~3% chance floor that the
-    unlearnable (noise-image) fixtures are stuck at by construction
-    (measured here: 49% at epoch 35 with this exact seed/config; gate 25%). This is
+    unlearnable (noise-image) fixtures are stuck at by construction. This is
     the detector-side analogue of test_full_stack_learns_lifting: it would
     catch a sign/coordinate error anywhere in the canvas->crop->heatmap->
-    decode->PCKh chain even while the MSE falls."""
+    decode->PCKh chain even while the MSE falls.
+
+    Epoch count: 50, NOT fewer. The epoch-35 PCKh of this marginal config
+    is genuinely nondeterministic run-to-run (measured 14-45 across five
+    runs of IDENTICAL code+data in round 5 — XLA CPU parallel reductions
+    compound over training and the tiny model sits on the marker-reading
+    phase transition; a round-5 bisect across r3..r5 proved every commit
+    statistically identical). By epoch 50 every measured run cleared 47
+    (range 47.6-63.1), so the 25% gate discriminates a real coordinate bug
+    (which pins PCKh at ~3) from this variance."""
     from bilinear_tpu.data.mpii import MPIIAnnotations
     from bilinear_tpu.data.pipeline import MPIIHostPipeline
     from bilinear_tpu.data.synthetic import write_mpii_dataset
@@ -155,7 +163,7 @@ def test_detector_learns_keypoints(tmp_path):
     state = trainer.init_state(jax.random.PRNGKey(0))
     pipe = MPIIHostPipeline(anns_tr, batch_size=4, canvas=256, shuffle=True,
                             drop_last=True, seed=1)
-    for epoch in range(35):
+    for epoch in range(50):
         state, _ = trainer.fit_epoch(state, pipe, epoch, jax.random.PRNGKey(2))
 
     stats = recalibrate(
