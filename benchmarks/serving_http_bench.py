@@ -99,12 +99,15 @@ def main() -> None:
             model_kw=model_kw,
             **(dict(dtype=jnp.float32) if args.tiny else {}),
         )
-    # Admission cap sized for the routes actually measured: a pose-only run
-    # with a small --lift-rows must still admit a full 16-frame pose burst
-    # per client (ADVICE r4).
+    # Admission cap sized for the routes actually measured (ADVICE r4): a
+    # pose-only run with a small --lift-rows must still admit pose bursts.
+    # Generous on the pose side — 128 rows/client keeps several 16-frame
+    # waves in flight; a tight cap (16/client) measured 40% lower pose
+    # throughput via 503-retry backoff, which is admission-control working,
+    # not daemon capacity (VERIFICATION_R5).
     pending_cap = max(
         (args.lift_rows * args.clients) if "lift" in routes else 0,
-        (16 * args.clients) if want_pose else 0,
+        (128 * args.clients) if want_pose else 0,
     )
     server = PoseHTTPServer(
         lifting=lifting, end2end=end2end, port=0, max_delay_ms=2.0,
