@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import time
 
 from bilinear_tpu.config import apply_platform_override
 
@@ -169,6 +170,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reload-every", type=float, default=30.0)
     p.add_argument("--interpret", action="store_true",
                    help="interpret-mode Pallas kernels (CPU testing)")
+    p.add_argument("--warm", action="store_true",
+                   help="pre-compile every dispatchable program shape "
+                        "(lift TILE grid up to --max-rows, each pose "
+                        "batch size) before accepting requests, so no "
+                        "request ever rides a compile")
     p.add_argument("--n-stacks", type=int, default=0,
                    help="override hourglass size (0 = production 8/256/4)")
     p.add_argument("--features", type=int, default=256)
@@ -187,6 +193,12 @@ def main(argv=None) -> None:
     )
     logger = logging.getLogger("serve")
     server = build_server(args, logger)
+    if args.warm:
+        t0 = time.monotonic()
+        warmed = server.warm()
+        logger.info(
+            "warmed %s in %.1f s", warmed, time.monotonic() - t0
+        )
     logger.info("listening on http://%s:%d", server.host, server.port)
     server.serve_forever()
 

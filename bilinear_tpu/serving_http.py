@@ -515,6 +515,28 @@ class PoseHTTPServer:
         )
         self._poll_thread = None
 
+    def warm(self, pose_dtypes=("uint8",)) -> dict:
+        """Pre-compile every program shape the batchers can dispatch, so no
+        request ever rides a compile (on a cold remote service a single
+        lazy compile measured 20.5 s mid-request, VERIFICATION_R5 §2).
+        Lifting: the TILE grid up to this server's max_rows (a capped
+        dispatch never exceeds it, and the kernel pads rows to TILE
+        multiples — every reachable compiled shape). Pose: each compiled
+        batch size per served frame dtype. Call before (or right after)
+        ``start()``; hot-reloaded weights reuse the same programs."""
+        out = {}
+        if self.lifting is not None and hasattr(self.lifting, "warm"):
+            from bilinear_tpu.ops.pallas.lifting import TILE
+
+            top = self.lift_batcher._max_rows
+            grid = list(range(TILE, top + 1, TILE))
+            if not grid or grid[-1] != top:
+                grid.append(top)
+            out["lift_rows"] = self.lifting.warm(grid)
+        if self.end2end is not None and hasattr(self.end2end, "warm"):
+            out["pose"] = self.end2end.warm(pose_dtypes)
+        return out
+
     # ------------------------------------------------------------ control
     def start(self) -> None:
         self._serve_thread.start()

@@ -745,3 +745,48 @@ def test_batcher_splits_bulk_requests_and_interleaves():
         assert t_small_done["small"] < t_small_done["big"], t_small_done
     finally:
         b.stop()
+
+
+def test_warm_precompiles_every_dispatchable_shape(daemon):
+    """PoseHTTPServer.warm() must cover exactly the shapes the batchers can
+    dispatch: the lifting TILE grid up to max_rows (incl. a non-multiple
+    top) and one (batch, dtype) pose program per compiled size. On a cold
+    remote service an unwarmed shape compiles lazily MID-REQUEST (measured
+    20.5 s, VERIFICATION_R5 section 2) — warm() exists so daemon restarts
+    never pay that inside a request."""
+    server, tr, _, _, lifting = daemon
+    from bilinear_tpu.ops.pallas.lifting import TILE
+
+    warmed = server.warm()
+    top = server.lift_batcher._max_rows
+    want_grid = list(range(TILE, top + 1, TILE))
+    if not want_grid or want_grid[-1] != top:
+        want_grid.append(top)
+    assert warmed["lift_rows"] == sorted(set(want_grid))
+    assert warmed["pose"] == [(b, "uint8") for b in server.end2end.batch_sizes]
+
+    # Both dtypes on request; f32 frames are a distinct compiled program.
+    warmed2 = server.warm(pose_dtypes=("uint8", "float32"))
+    assert (server.end2end.batch_sizes[0], "float32") in warmed2["pose"]
+
+    # The servers still answer correctly after warming (weights untouched).
+    kp = np.random.RandomState(0).rand(3, 16, 2).astype(np.float32) * 200
+    out = np.asarray(lifting.lift(kp))
+    assert out.shape == (3, 16, 3) and np.isfinite(out).all()
+
+
+def test_warm_skips_backends_without_warm(daemon):
+    """AOT artifact servers (io/aot.py) have no warm(); PoseHTTPServer.warm
+    must skip them rather than crash (cli.serve --warm with --aot)."""
+    server, *_ = daemon
+
+    class NoWarm:  # duck-typed AOTServer stand-in
+        pass
+
+    orig_l, orig_e = server.lifting, server.end2end
+    try:
+        server.lifting = NoWarm()
+        server.end2end = NoWarm()
+        assert server.warm() == {}
+    finally:
+        server.lifting, server.end2end = orig_l, orig_e
